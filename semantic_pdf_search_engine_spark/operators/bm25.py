@@ -1,0 +1,139 @@
+"""BM25 relational path: tokenize → tf/dl → docfreq → score → top-k,
+entirely in DataFrame expressions (zero UDFs, whole-stage codegen).
+
+This is the engine's *semantic spec* and the DuckDB-oracle-parity path.
+The scale path (compressed posting blocks + block-max WAND,
+operators/postings.py + plans/query.py) is property-tested against it.
+
+Replaces the reference's Qdrant top-k (/root/reference/src/qdrant.rs:70-96):
+  - filename filter pushed into the index (qdrant.rs:84-90)  →
+    `scope` predicate pushed to the parquet scan by Catalyst;
+  - limit=5 top-k inside the index (qdrant.rs:88)            →
+    ORDER BY score DESC LIMIT k → TakeOrderedAndProject.
+
+Scale notes (100 TB / 10^12 turns):
+  - tf/dl aggregation is map-side combinable (partial_count before the
+    shuffle — Catalyst does this automatically for count);
+  - the docfreq table is ~|vocab| rows → broadcast side of the score
+    join (hot Zipf head would skew a shuffle join; broadcasting removes
+    the shuffle entirely);
+  - corpus stats (2 numbers) are a broadcast scalar cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.config import B, DEFAULT_TOP_K, K1, SCORE_DECIMALS
+from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py, tokens_expr
+
+
+def terms_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term) one row per token occurrence (order not preserved)."""
+    return docs.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+
+
+def tf_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term, tf) term frequencies."""
+    return (
+        terms_df(docs, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+def dl_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, dl) document lengths in tokens."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(tokens_expr(F.col(text_col))).cast("int").alias("dl"),
+        )
+    )
+
+
+def docfreq_df(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term, df) document frequencies — tf already has one row per
+    (doc, term), so df = plain count, no count-distinct shuffle."""
+    return tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def idf_expr(n_docs, df_col):
+    return F.log(F.lit(1.0) + (n_docs - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)))
+
+
+def bm25_contrib_expr(tf_col, dl_col, avgdl, idf_col):
+    return idf_col * (
+        tf_col
+        * F.lit(K1 + 1.0)
+        / (tf_col + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl_col / avgdl))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_scores: bool = True,
+    scope=None,
+) -> DataFrame:
+    """Brute-force BM25 top-k over a document DataFrame.
+
+    Query is tokenized driver-side with the pinned tokenizer (tiny —
+    the analog of the reference's in-process embed_query,
+    /root/reference/src/embed.rs:65-78). Ties broken by ascending id;
+    scores float64 rounded to SCORE_DECIMALS at the comparison boundary.
+
+    `scope` (optional Column predicate over `docs`) restricts the
+    CANDIDATE set while keeping GLOBAL corpus stats — the reference's
+    filename filter runs inside the index against the full collection
+    (/root/reference/src/qdrant.rs:84-90); scoped BM25 classically keeps
+    global idf/avgdl. Catalyst pushes the resulting semi-join predicate
+    into the scan.
+    """
+    spark = docs.sparkSession
+    q_terms = sorted(set(tokenize_py(query)))
+    if not q_terms:
+        # empty-query guard — reference parity (search.rs:20-22)
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    # restrict docfreq to query terms BEFORE the broadcast — we ship k
+    # rows to every executor, not the whole vocabulary
+    dfreq = docfreq_df(tf, id_col).filter(F.col("term").isin(q_terms))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
+    candidates = tf
+    if scope is not None:
+        scoped_ids = docs.filter(scope).select(id_col)
+        candidates = tf.join(scoped_ids, id_col, "left_semi")
+    scored = (
+        candidates.join(F.broadcast(qdf), "term")  # semi-filter to query terms
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            bm25_contrib_expr(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+                idf_expr(F.col("n_docs"), F.col("df").cast("double")),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if round_scores:
+        scored = scored.withColumn("score", F.round(F.col("score"), SCORE_DECIMALS))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

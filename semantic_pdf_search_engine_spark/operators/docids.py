@@ -1,0 +1,85 @@
+"""Stable global docID assignment without a single-partition sort.
+
+docID = dense rank of (conv_id, turn_idx) — permutation-invariant to
+input partitioning (FIXTURES.md invariant; the reference's analog is
+the stable chunk→point ordering asserted at
+/root/reference/src/qdrant.rs:42-46).
+
+At 10^12 rows a `row_number() OVER (ORDER BY ...)` would funnel the
+whole table through ONE task. Instead: the classic zipWithIndex
+pattern —
+
+  1. range-repartition by (conv_id, turn_idx) and sort within
+     partitions (one shuffle; ranges are contiguous and ordered);
+  2. count rows per partition (cheap metadata aggregate);
+  3. prefix-sum the counts on the driver (P numbers, tiny) and
+     broadcast the offsets;
+  4. second pass adds offset + local ordinal via Arrow batches.
+
+Cost: one wide shuffle + one narrow pass over cached data, versus the
+naive plan's total serialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+ORDER_COLS = ("conv_id", "turn_idx")
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    order_cols: tuple[str, ...] = ORDER_COLS,
+) -> DataFrame:
+    """Add a `doc_id: long` column = dense rank over order_cols."""
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    ordered = ordered.withColumn("_pid", F.spark_partition_id())
+    ordered.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(
+        [f for f in ordered.schema.fields if f.name != "_pid"]
+        + [StructField("doc_id", LongType(), False)]
+    )
+    cols = [f.name for f in ordered.schema.fields if f.name != "_pid"]
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            off = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf[cols].copy()
+            out["doc_id"] = range(off + local, off + local + len(pdf))
+            local += len(pdf)
+            yield out
+
+    result = ordered.mapInPandas(add_ids, schema=out_schema)
+    return result
+
+
+def assign_doc_ids_small(df: DataFrame, order_cols=ORDER_COLS) -> DataFrame:
+    """Window-based variant for small data / oracle parity checks.
+    Single-partition sort — do NOT use at scale (kept as the semantic
+    spec the scalable path is tested against)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn("doc_id", F.row_number().over(w).cast("long") - F.lit(1))
