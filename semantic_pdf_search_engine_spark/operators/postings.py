@@ -1,0 +1,133 @@
+"""Posting-list construction: the index-build heart of the engine.
+
+Design for 10^12 turns (north_rule: "partitioning / shuffle / skew
+handled explicitly"):
+
+* **Stripe-aligned blocks.** Posting blocks are cut at fixed global
+  doc_id boundaries (`stripe_id = doc_id // STRIPE_DOCS`), NOT at a
+  fixed posting count. Two consequences:
+  (1) for any doc, EVERY term's postings live in the same stripe, so
+      query-time document-at-a-time scoring is a per-stripe group
+      operation with no cross-partition score re-assembly;
+  (2) the stripe IS the hot-term salt: a Zipf-head term touching 10^9
+      docs is built as ~doc_range/STRIPE_DOCS independent (term,
+      stripe) groups — contiguous doc ranges, so delta encoding stays
+      valid per block and no single task ever sees a whole hot term.
+      This is the "salted repartition-and-sort-within-partitions" of
+      the north rule, with doc-range salting instead of hash salting
+      precisely so the encoded lists remain ordered.
+
+* **Shuffle inventory** (the only wide ops in the build):
+  1. groupBy(term) docfreq — map-side combined counts;
+  2. join tf⋈docfreq on term (sort-merge; co-partitioned with 3);
+  3. repartition by (term, stripe_id) + applyInPandas encode.
+  Everything else is narrow Arrow passes.
+
+* **block_max_contrib** is the exact max per-posting BM25 contribution
+  in the block (idf and avgdl are known at build time), giving
+  query-time block-max pruning tight, *achievable* bounds — so the
+  per-stripe lower bound used to derive the pruning threshold is
+  valid (some real doc attains it).
+
+Reference parity: this stage replaces embed+upsert
+(/root/reference/src/embed.rs:44-63, /root/reference/src/qdrant.rs:36-68);
+the anchor-prefix candidate pruning the reference does at match time
+(/root/reference/src/fuzzy.rs:31-51) is morally this index + the
+block-max bounds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.config import B, K1, STRIPE_DOCS
+from semantic_pdf_search_engine_spark.functions.tokenize import term_freq_map_in_pandas
+from semantic_pdf_search_engine_spark.operators import codec
+
+POSTINGS_SCHEMA = (
+    "term string, stripe_id long, n_postings int, min_doc long, max_doc long, "
+    "gaps binary, tfs binary, dls binary, max_tf int, max_contrib double"
+)
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, dl) — Arrow-batched tokenize+TF (map-side
+    aggregated: one row per (doc, term), never raw token streams)."""
+    return term_freq_map_in_pandas(docs, id_cols=("doc_id",), text_col=text_col)
+
+
+def corpus_stats(docs: DataFrame, tf: DataFrame) -> tuple[int, float]:
+    """N and avgdl without shuffling on doc_id: N is a scan count of
+    the docs table (includes zero-token docs, matching the brute-force
+    dl_df semantics); Σdl == Σtf over the tf table (integer-exact),
+    both map-side partial aggregates."""
+    n_docs = docs.count()
+    total = tf.agg(F.sum(F.col("tf").cast("long")).alias("t")).collect()[0]["t"] or 0
+    return int(n_docs), (float(total) / n_docs if n_docs else 0.0)
+
+
+def docfreq(tf: DataFrame) -> DataFrame:
+    """(term, df) — plain count: tf already has one row per (doc, term)."""
+    return tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def build_posting_blocks(
+    tf: DataFrame,
+    dfreq_idf: DataFrame,
+    avgdl: float,
+    stripe_docs: int = STRIPE_DOCS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """tf (doc_id, term, tf, dl) ⋈ (term, idf) → compressed posting blocks.
+
+    One shuffle: repartition on (term, stripe_id), then per-group
+    numpy encode inside applyInPandas. idf arrives precomputed so the
+    block-max bounds are bit-identical to the scoring path's idf.
+    """
+    spark = tf.sparkSession
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    with_stripe = (
+        tf.join(dfreq_idf, "term")  # sort-merge on term; reused by the repartition
+        .withColumn("stripe_id", (F.col("doc_id") / F.lit(stripe_docs)).cast("long"))
+    )
+
+    k1, b = K1, B
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        term = pdf["term"].iloc[0]
+        stripe = int(pdf["stripe_id"].iloc[0])
+        base = stripe * stripe_docs
+        doc_ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["dl"].to_numpy()
+        idf = float(pdf["idf"].iloc[0])
+        # op order pinned to match oracle.bm25_term bit-for-bit
+        contrib = (idf * (tfs * (k1 + 1.0))) / (
+            tfs + k1 * (1.0 - b + b * dls / avgdl)
+        )
+        gaps_bin, tfs_bin, dls_bin = codec.encode_block(doc_ids, tfs, dls, base)
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "stripe_id": [stripe],
+                "n_postings": [len(pdf)],
+                "min_doc": [int(doc_ids[0])],
+                "max_doc": [int(doc_ids[-1])],
+                "gaps": [gaps_bin],
+                "tfs": [tfs_bin],
+                "dls": [dls_bin],
+                "max_tf": [int(tfs.max())],
+                "max_contrib": [float(contrib.max())],
+            }
+        )
+
+    return (
+        with_stripe.repartition(num_partitions, "term", "stripe_id")
+        .groupBy("term", "stripe_id")
+        .applyInPandas(encode_group, schema=POSTINGS_SCHEMA)
+    )

@@ -22,7 +22,9 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def bm25_term(tf: float, dl: float, avgdl: float, term_idf: float) -> float:
-    return term_idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    # parenthesization pinned — identical op order in oracle, posting
+    # build (block-max bounds) and stripe scoring → bit-identical float64
+    return (term_idf * (tf * (K1 + 1.0))) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
 class BM25Oracle:

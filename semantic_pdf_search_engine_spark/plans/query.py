@@ -1,0 +1,191 @@
+"""Query-time top-k over the compressed inverted index.
+
+Pipeline (replacing the reference's Qdrant search,
+/root/reference/src/qdrant.rs:70-96):
+
+  1. driver tokenizes the query with the pinned tokenizer (tiny — the
+     analog of in-process embed_query, /root/reference/src/embed.rs:65-78);
+  2. posting scan pruned two ways: parquet partition pruning on
+     `term_bucket` (buckets computed driver-side from the query terms,
+     pushed as a partition filter) + row-group min/max skipping on
+     `term`;
+  3. **stripe pruning (block-max)**: per stripe,
+     ub = Σ_terms max_contrib (no doc in the stripe can beat ub);
+     lb = max_terms max_contrib (achievable: max_contrib is the exact
+     contribution of a real posting, so some doc in the stripe scores
+     ≥ lb). Threshold T = k-th largest lb across stripes — at least k
+     distinct docs (one per stripe) score ≥ T, so any stripe with
+     ub < T cannot contribute to the top k. The lb top-k is a tiny
+     TakeOrdered over stripe metadata; the kept-stripe set is
+     broadcast back.
+  4. per-stripe document-at-a-time scoring in one Arrow UDF: decode
+     blocks, dense float64 accumulation over the ≤STRIPE_DOCS-wide
+     doc range in canonical (sorted-term) order — bit-identical to the
+     numpy oracle's summation order — emit the stripe-local top-k;
+  5. global merge: candidates ≤ (#stripes_kept × k) rows — either
+     TakeOrderedAndProject (ORDER BY score DESC, doc_id LIMIT k) or
+     the treeReduce heap merge (`topk_tree`) for the RDD path.
+
+Stripe-level block-max pruning is the engine's moral twin of the
+reference's anchor-based candidate pruning before expensive scoring
+(/root/reference/src/fuzzy.rs:31-51): skip regions whose upper bound
+cannot beat the current threshold.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.config import (
+    B,
+    DEFAULT_TOP_K,
+    K1,
+    SCORE_DECIMALS,
+)
+from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+from semantic_pdf_search_engine_spark.sources.index_store import (
+    InvertedIndex,
+    term_bucket_of,
+)
+
+
+def score_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    round_scores: bool = True,
+    prune: bool = True,
+    use_tree_reduce: bool = False,
+) -> DataFrame:
+    """Top-k (doc_id, score) from the compressed posting blocks."""
+    spark = index.spark
+    q_terms = sorted(set(tokenize_py(query)))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not q_terms:
+        return empty  # empty-query guard (reference P8, search.rs:20-22)
+
+    idf_map = index.idf_of_terms(q_terms)  # ≤|q| rows collected
+    if not idf_map:
+        return empty
+
+    buckets = sorted({term_bucket_of(t) for t in idf_map})
+    qblocks = index.postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(idf_map))
+    )
+
+    if prune:
+        meta = qblocks.groupBy("stripe_id").agg(
+            F.sum("max_contrib").alias("ub"), F.max("max_contrib").alias("lb")
+        )
+        top_lbs = [r["lb"] for r in meta.orderBy(F.col("lb").desc()).limit(k).collect()]
+        if len(top_lbs) >= k:
+            threshold = top_lbs[-1]
+            kept = meta.filter(F.col("ub") >= threshold).select("stripe_id")
+            qblocks = qblocks.join(F.broadcast(kept), "stripe_id")
+
+    stripe_docs = index.stripe_docs
+    avgdl = index.avgdl
+    k1, b = K1, B
+    idf_items = sorted(idf_map.items())  # canonical term order
+
+    def score_stripe(pdf: pd.DataFrame) -> pd.DataFrame:
+        from semantic_pdf_search_engine_spark.operators.codec import decode_block
+
+        stripe = int(pdf["stripe_id"].iloc[0])
+        base = stripe * stripe_docs
+        scores = np.zeros(stripe_docs, dtype=np.float64)
+        seen = np.zeros(stripe_docs, dtype=bool)
+        by_term = {t: i for i, t in enumerate(pdf["term"].tolist())}
+        # canonical (sorted-term) accumulation order == oracle order
+        for term, idf in idf_items:
+            i = by_term.get(term)
+            if i is None:
+                continue
+            row = pdf.iloc[i]
+            docs, tfs, dls = decode_block(row["gaps"], row["tfs"], row["dls"], base)
+            off = docs - base
+            # op order pinned to match oracle.bm25_term bit-for-bit
+            contrib = (idf * (tfs * (k1 + 1.0))) / (
+                tfs + k1 * (1.0 - b + b * dls / avgdl)
+            )
+            scores[off] += contrib
+            seen[off] = True
+        hit = np.flatnonzero(seen)
+        if hit.size == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+            )
+        s = scores[hit]
+        order = np.lexsort((hit, -s))[:k]  # stripe-local top-k, doc_id tie-break
+        return pd.DataFrame(
+            {"doc_id": (hit[order] + base).astype("int64"), "score": s[order]}
+        )
+
+    candidates = qblocks.groupBy("stripe_id").applyInPandas(
+        score_stripe, schema="doc_id long, score double"
+    )
+    if round_scores:
+        candidates = candidates.withColumn(
+            "score", F.round(F.col("score"), SCORE_DECIMALS)
+        )
+    if use_tree_reduce:
+        return topk_tree(spark, candidates, k)
+    return candidates.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def search(
+    index: InvertedIndex,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    **kw,
+) -> DataFrame:
+    """Top-k joined back to the stored turns — the full reference query
+    pipeline shape (top-k → payload fetch → result rows with text;
+    /root/reference/src/bin/app/handlers/search.rs:16-65)."""
+    hits = score_topk(index, query, k, **kw)
+    winners = [r["doc_id"] for r in hits.collect()]
+    if not winners:
+        return index.spark.createDataFrame(
+            [], "doc_id long, score double, conv_id string, turn_idx int, text string"
+        )
+    docs = index.fetch_docs(winners).select("doc_id", "conv_id", "turn_idx", "text")
+    return (
+        hits.join(F.broadcast(docs), "doc_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def topk_tree(spark: SparkSession, scored: DataFrame, k: int) -> DataFrame:
+    """RDD treeReduce top-k heap merge — O(log P) merge depth for very
+    wide candidate sets (SURVEY.md §4 custom-4). Semantically identical
+    to ORDER BY score DESC, doc_id ASC LIMIT k."""
+
+    def part_topk(it):
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of best k
+        for row in it:
+            item = (row["score"], -row["doc_id"])
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        yield heap
+
+    def merge(a, b):
+        for item in b:
+            if len(a) < k:
+                heapq.heappush(a, item)
+            elif item > a[0]:
+                heapq.heapreplace(a, item)
+        return a
+
+    parts = scored.rdd.mapPartitions(part_topk)
+    heap = parts.treeReduce(merge)
+    rows = sorted(((-nd, s) for s, nd in heap), key=lambda x: (-x[1], x[0]))
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )

@@ -1,0 +1,100 @@
+"""The correctness spine (BASELINE.md rank-identity gate):
+
+build the full compressed index over synthesized transcripts, run the
+reference query set through the block-max query engine, and require
+top-10 docIDs AND scores identical to the pinned single-node numpy
+BM25 oracle (float64, canonical term order, ties → ascending doc_id).
+
+Also: per-turn text equality after round-trip under stable ordering
+(input_hint invariant), pruned ≡ unpruned, treeReduce ≡ sort-limit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from semantic_pdf_search_engine_spark.config import SCORE_DECIMALS
+from semantic_pdf_search_engine_spark.fixtures import make_queries, make_transcripts
+from semantic_pdf_search_engine_spark.oracle import BM25Oracle
+from semantic_pdf_search_engine_spark.plans.query import score_topk, search
+from semantic_pdf_search_engine_spark.sources.index_store import build_index
+
+N_CONVS = 40
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_transcripts(n_convs=N_CONVS)
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("idx")
+    df = spark.createDataFrame(corpus)
+    # small stripes so multiple stripes exist even on a small corpus
+    return build_index(spark, df, str(d), stripe_docs=64)
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, index):
+    docs = index.docs.select("doc_id", "text").collect()
+    return BM25Oracle([(r["doc_id"], r["text"]) for r in docs])
+
+
+def _topk(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_round_trip_text_equality(spark, corpus, index):
+    """input_hint invariant: index → fetch → text == input text for every
+    turn, docID order == (conv_id, turn_idx) order."""
+    stored = (
+        index.docs.select("conv_id", "turn_idx", "text", "doc_id")
+        .orderBy("doc_id")
+        .collect()
+    )
+    src = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(stored) == len(src)
+    for i, r in enumerate(stored):
+        assert r["doc_id"] == i
+        assert r["conv_id"] == src["conv_id"][i]
+        assert int(r["turn_idx"]) == int(src["turn_idx"][i])
+        assert r["text"] == src["text"][i]
+
+
+@pytest.mark.parametrize("qi", range(0, 60, 3))
+def test_rank_identity(spark, index, oracle, qi):
+    q = make_queries(100)[qi]
+    got = _topk(score_topk(index, q, K, round_scores=False))
+    want = oracle.top_k(q, K)
+    assert [d for d, _ in got] == [d for d, _ in want], f"query={q!r}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, f"query={q!r} doc={gd}: {gs} != {ws}"
+
+
+def test_pruned_equals_unpruned(spark, index, oracle):
+    for q in make_queries(30)[:30:4]:
+        a = _topk(score_topk(index, q, K, prune=True))
+        b = _topk(score_topk(index, q, K, prune=False))
+        assert a == b, f"query={q!r}"
+
+
+def test_tree_reduce_equals_sort_limit(spark, index):
+    for q in make_queries(12)[:12:5]:
+        a = _topk(score_topk(index, q, K, use_tree_reduce=True))
+        b = _topk(score_topk(index, q, K, use_tree_reduce=False))
+        assert a == b, f"query={q!r}"
+
+
+def test_search_returns_text(spark, index):
+    q = make_queries(3)[0]
+    rows = search(index, q, 5).collect()
+    assert 0 < len(rows) <= 5
+    for r in rows:
+        assert r["text"] and r["conv_id"].startswith("conv")
+
+
+def test_empty_and_absent(spark, index):
+    assert score_topk(index, "").count() == 0
+    assert score_topk(index, "zzzznotaword").count() == 0

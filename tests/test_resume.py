@@ -1,0 +1,71 @@
+"""Checkpoint resume (north_rule): kill after partial stage completion,
+re-run, assert identical final index + skipped stages untouched."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import shutil
+from pathlib import Path
+
+from semantic_pdf_search_engine_spark.fixtures import make_transcripts
+from semantic_pdf_search_engine_spark.sources.index_store import Manifest, build_index
+
+
+def _postings_checksum(index) -> str:
+    rows = index.postings.select(
+        "term", "stripe_id", "n_postings", "gaps", "tfs", "dls"
+    ).collect()
+    h = hashlib.md5()
+    for r in sorted(rows, key=lambda r: (r["term"], r["stripe_id"])):
+        h.update(r["term"].encode())
+        h.update(str(r["stripe_id"]).encode())
+        h.update(bytes(r["gaps"]))
+        h.update(bytes(r["tfs"]))
+        h.update(bytes(r["dls"]))
+    return h.hexdigest()
+
+
+def test_resume_after_partial_failure(spark, tmp_path):
+    pdf = make_transcripts(n_convs=12)
+    df = spark.createDataFrame(pdf)
+
+    clean_dir = tmp_path / "clean"
+    idx_clean = build_index(spark, df, str(clean_dir), stripe_docs=64)
+    want = _postings_checksum(idx_clean)
+
+    crash_dir = tmp_path / "crash"
+    idx = build_index(spark, df, str(crash_dir), stripe_docs=64)
+    # simulate a crash after docfreq but before postings commit
+    shutil.rmtree(crash_dir / "postings")
+    docs_mtime = max(p.stat().st_mtime_ns for p in (crash_dir / "docs").rglob("*.parquet"))
+    tf_mtime = max(p.stat().st_mtime_ns for p in (crash_dir / "tf").rglob("*.parquet"))
+
+    idx2 = build_index(spark, df, str(crash_dir), stripe_docs=64, resume=True)
+    # completed stages were NOT recomputed
+    assert max(p.stat().st_mtime_ns for p in (crash_dir / "docs").rglob("*.parquet")) == docs_mtime
+    assert max(p.stat().st_mtime_ns for p in (crash_dir / "tf").rglob("*.parquet")) == tf_mtime
+    # final index identical to a clean build
+    assert _postings_checksum(idx2) == want
+
+    m = Manifest(str(crash_dir))
+    assert m.stage_complete("postings")
+    assert m.data["metrics"]["postings_turns_per_sec"] > 0
+
+
+def test_manifest_lineage_records_files(spark, tmp_path):
+    df = spark.createDataFrame(make_transcripts(n_convs=5))
+    build_index(spark, df, str(tmp_path / "i"), stripe_docs=64)
+    m = json.loads((tmp_path / "i" / "manifest.json").read_text())
+    for stage in ("docs", "tf", "docfreq", "postings"):
+        st = m["stages"][stage]
+        assert st["status"] == "complete"
+        assert st["rows"] > 0
+        assert st["n_files"] == len(st["files"]) > 0
+        assert all(Path(f).exists() for f in st["files"])
+    assert set(m["metrics"]) >= {
+        "docs_turns_per_sec",
+        "tokenize_turns_per_sec",
+        "stats_turns_per_sec",
+        "postings_turns_per_sec",
+    }
