@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run, per-round → BENCH_r{N}.json).
+
+Default mode: at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+  1. index build over a deterministic synthetic transcript corpus
+     (size scaled by sf) — reports turns/sec;
+  2. query p50 latency over the reference query set through the
+     compressed-index block-max path;
+  3. headline relational/BM25/dedup queries on the driver testdata.
+Prints ONE JSON line {"metric", "value", "unit", "queries", "sf", ...}.
+
+`--scaling` mode (run manually, results committed to BENCH/BASELINE.md):
+runs the identical build at local[8] and local[32] in separate
+subprocesses (one JVM cannot change master) and reports throughput at
+both plus scaling efficiency — the sandbox protocol for the north
+rule's N→4N executor criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _n_convs(sf: float) -> int:
+    # sf0.1 → 20k convs ≈ 450k turns; scales linearly, floor 200
+    return max(200, int(200_000 * sf))
+
+
+def run_build_and_queries(master_cores: int, workdir: str, n_convs: int, n_queries: int = 20):
+    """One full build + query suite at a given core count; returns metrics."""
+    from semantic_pdf_search_engine_spark.fixtures import (
+        make_queries,
+        make_transcripts_distributed,
+    )
+    from semantic_pdf_search_engine_spark.plans.query import score_topk
+    from semantic_pdf_search_engine_spark.session import get_spark
+    from semantic_pdf_search_engine_spark.sources.index_store import build_index
+
+    spark = get_spark(
+        app_name=f"bench-{master_cores}",
+        master=f"local[{master_cores}]",
+        shuffle_partitions=max(8, master_cores),
+    )
+    transcripts = make_transcripts_distributed(spark, n_convs)
+    t0 = time.time()
+    idx = build_index(spark, transcripts, workdir, resume=False)
+    build_sec = time.time() - t0
+    n_turns = idx.n_docs
+
+    lat = []
+    for q in make_queries(n_queries):
+        tq = time.time()
+        score_topk(idx, q, 10).collect()
+        lat.append(time.time() - tq)
+    p50 = statistics.median(lat)
+    spark.stop()
+    return {
+        "n_turns": n_turns,
+        "build_sec": round(build_sec, 2),
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "query_p50_sec": round(p50, 3),
+        "query_p95_sec": round(sorted(lat)[int(0.95 * (len(lat) - 1))], 3),
+    }
+
+
+def main():
+    import tempfile
+
+    sf = _sf_of(SF_DIR)
+    n_convs = _n_convs(sf)
+
+    if "--scaling" in sys.argv:
+        # child mode runs one core-count and prints its metrics
+        results = {}
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", str(cores), str(n_convs)],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cores] = json.loads(line)
+        r8, r32 = results[8], results[32]
+        eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_local8_to_local32",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "local8": r8,
+                    "local32": r32,
+                    "sf": sf,
+                }
+            )
+        )
+        return
+
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        cores, nc = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        with tempfile.TemporaryDirectory() as d:
+            print(json.dumps(run_build_and_queries(cores, d, nc)))
+        return
+
+    # ---- default per-round bench ------------------------------------------
+    from semantic_pdf_search_engine_spark import registry
+    from semantic_pdf_search_engine_spark.session import get_spark
+
+    queries: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as d:
+        m = run_build_and_queries(CPUS, d, n_convs)
+    queries["index_build"] = m["build_sec"]
+    queries["query_p50"] = m["query_p50_sec"]
+
+    # headline registry queries on the driver testdata
+    spark = get_spark(app_name="bench-registry")
+    for name, fn in registry.QUERIES.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    total = round(sum(queries.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "turns_per_sec": m["turns_per_sec"],
+                "n_turns": m["n_turns"],
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

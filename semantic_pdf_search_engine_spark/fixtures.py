@@ -89,6 +89,64 @@ def make_transcripts(n_convs: int = 100, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def make_transcripts_distributed(spark, n_convs: int, seed: int = 42):
+    """Distributed deterministic transcript generation: one seeded RNG
+    per conv (seed ⊕ conv index), generated inside mapInPandas — scales
+    to any corpus size with no driver bottleneck, fully reproducible
+    regardless of partitioning."""
+    import pyspark.sql.functions as F
+
+    vocab_list = list(VOCAB)
+
+    def gen(batches):
+        import datetime as dt
+
+        import numpy as np
+        import pandas as pd
+
+        vocab = np.array(vocab_list)
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        probs = ranks ** -1.2
+        probs /= probs.sum()
+        base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        for pdf in batches:
+            rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+            for c in pdf["id"].tolist():
+                rng = np.random.default_rng(seed * 1_000_003 + int(c))
+                n_turns = int(rng.integers(5, 41))
+                conv = f"conv{c:08d}"
+                for t in range(n_turns):
+                    role = _ROLES[(t + int(rng.integers(0, 3))) % 3]
+                    n_words = int(rng.integers(5, 121))
+                    words = list(rng.choice(vocab, size=n_words, p=probs))
+                    if rng.random() < 0.02 and words:
+                        k = int(rng.integers(0, len(words)))
+                        fn = _ARTIFACTS[int(rng.integers(0, len(_ARTIFACTS)))]
+                        words[k] = fn(words[k])
+                    rows["conv_id"].append(conv)
+                    rows["turn_idx"].append(t)
+                    rows["role"].append(role)
+                    rows["text"].append(" ".join(words))
+                    rows["tool"].append(
+                        f"tool{int(rng.integers(0, 8))}" if role == "tool" else None
+                    )
+                    rows["ts"].append(base + dt.timedelta(hours=int(c), seconds=t))
+            out = pd.DataFrame(rows)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    par = spark.sparkContext.defaultParallelism
+    return (
+        spark.range(n_convs)
+        .repartition(par)
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def make_queries(n: int = 100, seed: int = 43) -> list[str]:
     """Reference query set (FIXTURES.md §2): mix of 1-term, 2-3-term,
     hot-term (Zipf head), rare-term (tail), absent-term, artifact-noised."""

@@ -13,7 +13,6 @@ expression (JVM codegen — used for DuckDB-parity queries).
 from __future__ import annotations
 
 import re
-from collections import Counter
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,29 +68,40 @@ def term_freq_map_in_pandas(
     out_schema += ", term string, tf int, dl int"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if pdf.empty:
                 continue
             texts = normalize_series(pdf[text_col]) if normalize else pdf[
                 text_col
             ].fillna("")
-            rows: dict[str, list] = {c: [] for c in id_cols}
-            terms: list[str] = []
-            tfs: list[int] = []
-            dls: list[int] = []
+            # fully vectorized: flatten token lists once, group by
+            # (row, term) with pandas — no per-row Python loop
             toks_col = texts.str.lower().str.split(_SPLIT)
-            ids = {c: pdf[c].tolist() for c in id_cols}
-            for i, toks in enumerate(toks_col.tolist()):
-                toks = [t for t in toks if t]
-                dl = len(toks)
-                cnt = Counter(toks)
-                for term, tf in cnt.items():
-                    for c in id_cols:
-                        rows[c].append(ids[c][i])
-                    terms.append(term)
-                    tfs.append(tf)
-                    dls.append(dl)
-            out = pd.DataFrame({**rows, "term": terms, "tf": tfs, "dl": dls})
+            tok_lists = [
+                [t for t in toks if t] if isinstance(toks, list) else []
+                for toks in toks_col.tolist()
+            ]
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists if t]
+            )
+            row_idx = np.repeat(np.arange(len(tok_lists)), lens)
+            grouped = (
+                pd.DataFrame({"_row": row_idx, "term": flat_terms})
+                .groupby(["_row", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            out = pd.DataFrame(
+                {c: pdf[c].to_numpy()[grouped["_row"].to_numpy()] for c in id_cols}
+            )
+            out["term"] = grouped["term"].to_numpy()
+            out["tf"] = grouped["tf"].astype("int32").to_numpy()
+            out["dl"] = lens[grouped["_row"].to_numpy()].astype("int32")
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)

@@ -97,37 +97,65 @@ def build_posting_blocks(
 
     k1, b = K1, B
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        term = pdf["term"].iloc[0]
-        stripe = int(pdf["stripe_id"].iloc[0])
-        base = stripe * stripe_docs
-        doc_ids = pdf["doc_id"].to_numpy()
-        tfs = pdf["tf"].to_numpy()
-        dls = pdf["dl"].to_numpy()
-        idf = float(pdf["idf"].iloc[0])
-        # op order pinned to match oracle.bm25_term bit-for-bit
-        contrib = (idf * (tfs * (k1 + 1.0))) / (
-            tfs + k1 * (1.0 - b + b * dls / avgdl)
-        )
-        gaps_bin, tfs_bin, dls_bin = codec.encode_block(doc_ids, tfs, dls, base)
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "stripe_id": [stripe],
-                "n_postings": [len(pdf)],
-                "min_doc": [int(doc_ids[0])],
-                "max_doc": [int(doc_ids[-1])],
-                "gaps": [gaps_bin],
-                "tfs": [tfs_bin],
-                "dls": [dls_bin],
-                "max_tf": [int(tfs.max())],
-                "max_contrib": [float(contrib.max())],
-            }
-        )
+    # mapInPandas over repartition+sortWithinPartitions, NOT
+    # groupBy().applyInPandas(): with |vocab|×|stripes| groups the
+    # per-group UDF dispatch overhead (pandas frame per group) dwarfs
+    # the actual numpy encode. Here groups arrive contiguous inside
+    # Arrow batches; only the batch-boundary group needs carry-over.
+    def encode_partition(batches):
+        def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {k: [] for k in (
+                "term", "stripe_id", "n_postings", "min_doc", "max_doc",
+                "gaps", "tfs", "dls", "max_tf", "max_contrib",
+            )}
+            for (term, stripe), g in pdf.groupby(["term", "stripe_id"], sort=False):
+                stripe = int(stripe)
+                base = stripe * stripe_docs
+                doc_ids = g["doc_id"].to_numpy()
+                tfs = g["tf"].to_numpy()
+                dls = g["dl"].to_numpy()
+                idf = float(g["idf"].iloc[0])
+                # op order pinned to match oracle.bm25_term bit-for-bit
+                contrib = (idf * (tfs * (k1 + 1.0))) / (
+                    tfs + k1 * (1.0 - b + b * dls / avgdl)
+                )
+                gaps_bin, tfs_bin, dls_bin = codec.encode_block(doc_ids, tfs, dls, base)
+                out["term"].append(term)
+                out["stripe_id"].append(stripe)
+                out["n_postings"].append(len(g))
+                out["min_doc"].append(int(doc_ids[0]))
+                out["max_doc"].append(int(doc_ids[-1]))
+                out["gaps"].append(gaps_bin)
+                out["tfs"].append(tfs_bin)
+                out["dls"].append(dls_bin)
+                out["max_tf"].append(int(tfs.max()))
+                out["max_contrib"].append(float(contrib.max()))
+            o = pd.DataFrame(out)
+            return o.astype(
+                {"stripe_id": "int64", "n_postings": "int32", "min_doc": "int64",
+                 "max_doc": "int64", "max_tf": "int32", "max_contrib": "float64"}
+            )
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                carry = None
+                continue
+            # the last (term, stripe) run may continue into the next batch
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["stripe_id"].iloc[-1]
+            mask = (pdf["term"] == last_t) & (pdf["stripe_id"] == last_s)
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                yield encode_groups(body)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
 
     return (
         with_stripe.repartition(num_partitions, "term", "stripe_id")
-        .groupBy("term", "stripe_id")
-        .applyInPandas(encode_group, schema=POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "stripe_id", "doc_id")
+        .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
     )

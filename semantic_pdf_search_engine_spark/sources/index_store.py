@@ -215,9 +215,13 @@ def build_index(
         blocks = P.build_posting_blocks(
             tf, dfreq.select("term", "idf"), avgdl, stripe_docs
         ).withColumn("term_bucket", term_bucket_udf(F.col("term")))
-        blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(
-            str(d / "postings")
-        )
+        # repartition on the partition column first: otherwise every
+        # shuffle partition writes a sliver into every bucket directory
+        # (P × NUM_TERM_BUCKETS small files); blocks are compact, so
+        # this extra shuffle moves little data
+        blocks.repartition(NUM_TERM_BUCKETS, "term_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(str(d / "postings"))
         rows = spark.read.parquet(str(d / "postings")).count()
         dt = m.record("postings", d / "postings", rows, t0)
         metrics["postings_turns_per_sec"] = round(n_turns / dt, 1)
