@@ -1,0 +1,130 @@
+"""Text-quality predicates & scoring — reference parity + training-data
+pipeline ops.
+
+Reference predicates re-expressed as pure Column expressions (no UDFs,
+whole-stage codegen; Catalyst fuses the conjuncts exactly like the
+reference's hand-fused single-pass loop, /root/reference/src/chunk.rs:70-89):
+
+* is_valid_chunk   — /root/reference/src/chunk.rs:64-126 (P1)
+* looks_like_code  — /root/reference/src/chunk.rs:119-126 (P2)
+* is_garbage       — /root/reference/src/chunk.rs:512-518 (P3)
+* is_header_like   — /root/reference/src/chunk.rs:345-380 (P4, approximated:
+                     same three branch shapes, pinned thresholds)
+
+Training-data additions (not in the reference, required for the
+100 TB pipeline): language ID (stopword-ratio heuristic), quality
+score, token counting, md5 document fingerprinting.
+
+Every function here has a byte-identical DuckDB SQL twin in
+registry.py — expressions are deliberately restricted to constructs
+both engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+# pinned constants (reference values where they exist)
+MIN_CHARS = 50  # chunk.rs:66
+MIN_WORDS = 8  # chunk.rs:{67-72}
+MIN_ALPHA_RATIO = 0.5  # chunk.rs:{74-80}
+MAX_ELLIPSES = 2  # chunk.rs:{101-106}
+CODE_INDICATORS = ["{", "}", "function", "var ", "const ", "let ", "=>", "//"]
+CODE_THRESHOLD = 3  # chunk.rs:119-126
+ARTIFACT_WORDS = ["foreword", "appendix", "index", "references"]  # chunk.rs:{90-99}
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "this", "that",
+]
+
+
+def alpha_ratio(text: Column) -> Column:
+    """letters / total chars (0.0 for empty)."""
+    total = F.length(text)
+    letters = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.when(total > 0, letters.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def word_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
+
+
+def ellipsis_count(text: Column) -> Column:
+    return (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+
+
+def code_indicator_count(text: Column) -> Column:
+    out = F.lit(0)
+    for ind in CODE_INDICATORS:
+        out = out + F.contains(text, F.lit(ind)).cast("int")
+    return out
+
+
+def looks_like_code(text: Column) -> Column:
+    return code_indicator_count(text) >= CODE_THRESHOLD
+
+
+def is_garbage(text: Column) -> Column:
+    """>10 dots ∧ <5 letters ∧ >0 digits (chunk.rs:512-518)."""
+    dots = F.length(text) - F.length(F.replace(text, F.lit("."), F.lit("")))
+    letters = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    return (dots > 10) & (letters < 5) & (digits > 0)
+
+
+def is_header_like(text: Column) -> Column:
+    t = F.trim(text)
+    wc = word_count(t)
+    starts_digit = t.rlike("^[0-9]")
+    all_caps = (F.upper(t) == t) & t.rlike("[A-Z]")
+    digit_colon = t.rlike("^[0-9][^\\n]*:")
+    return (F.length(t) <= 100) & (
+        (starts_digit & (wc <= 6)) | (all_caps & (wc <= 5)) | (digit_colon & (wc <= 8))
+    )
+
+
+def is_valid_chunk(text: Column) -> Column:
+    t = F.trim(text)
+    return (
+        (F.length(t) >= MIN_CHARS)
+        & (word_count(t) >= MIN_WORDS)
+        & (alpha_ratio(t) >= MIN_ALPHA_RATIO)
+        & ~F.lower(t).isin(ARTIFACT_WORDS)
+        & (ellipsis_count(t) <= MAX_ELLIPSES)
+        & ~looks_like_code(t)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    stops = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    return F.when(n > 0, stops.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free heuristic: English stopword density ≥ 5% → 'en'."""
+    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]: length component + alphabetic density +
+    stopword naturalness. Pinned formula (identical SQL twin)."""
+    toks = tokens_expr(text)
+    dl = F.size(toks).cast("double")
+    return F.round(
+        F.least(F.lit(1.0), dl / F.lit(100.0)) * F.lit(0.5)
+        + alpha_ratio(text) * F.lit(0.3)
+        + F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0)) * F.lit(0.2),
+        6,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 content fingerprint (exact-dup key)."""
+    return F.md5(text.cast("binary"))

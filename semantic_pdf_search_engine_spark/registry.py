@@ -132,6 +132,155 @@ def q_bm25_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_valid_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4 predicate flags (reference chunk.rs:64-126,345-380,512-518)."""
+    from semantic_pdf_search_engine_spark.functions import quality as Q
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        Q.is_valid_chunk(t).alias("is_valid"),
+        Q.looks_like_code(t).alias("is_code"),
+        Q.is_garbage(t).alias("is_garbage"),
+        Q.is_header_like(t).alias("is_header"),
+    )
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_pdf_search_engine_spark.functions import quality as Q
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        Q.lang_id(t).alias("lang_pred"),
+        Q.quality_score(t).alias("quality"),
+        F.size(tokens_expr(t)).cast("int").alias("n_tokens"),
+        Q.fingerprint(t).alias("fp"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_pdf_search_engine_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_pdf_search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_pdf_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_pdf_search_engine_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_pdf_search_engine_spark.operators.similarity import brute_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_cosine_topk(emb, list(qv), k=10, exclude_ids=(0,))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — rows-only check (no exact SQL oracle by design);
+    recall vs the brute path is asserted in tests/test_similarity.py."""
+    from semantic_pdf_search_engine_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_cosine_topk(emb, list(qv), k=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3, max_id=300)
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring occurrence count (reference find_exact,
+    /root/reference/src/fuzzy.rs:99-102)."""
+    phrase = "filter window"
+    t = F.col("text")
+    n = (
+        (F.length(t) - F.length(F.replace(t, F.lit(phrase), F.lit(""))))
+        / F.lit(len(phrase))
+    ).cast("int")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n.alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped agg (classical-relational coverage, SURVEY §2.13)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + agg + top-k (join/agg coverage)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.col("total").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_events_daily_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage + timestamp handling on the events table."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
+    return d.withColumn("rnk", F.row_number().over(w))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_tf": q_tokenize_tf,
     "doc_length": q_doc_length,
@@ -139,6 +288,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_scoped": q_bm25_scoped,
+    "valid_chunks": q_valid_chunks,
+    "lang_quality": q_lang_quality,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ann_brute": q_ann_brute,
+    "ann_lsh": q_ann_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "phrase_match": q_phrase_match,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_daily_rank": q_events_daily_rank,
 }
 
 from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
@@ -170,3 +332,201 @@ FROM dl
         _FLAGSHIP_TERMS, DEFAULT_TOP_K, scope_pred=f"source = '{SCOPED_SOURCE}'"
     ),
 }
+
+# ---------------------------------------------------------------------------
+# quality / dedup / similarity / relational oracle twins
+# ---------------------------------------------------------------------------
+
+from semantic_pdf_search_engine_spark.functions.quality import (  # noqa: E402
+    ARTIFACT_WORDS,
+    CODE_INDICATORS,
+    STOPWORDS,
+)
+
+_ALPHA = "CASE WHEN length({t}) > 0 THEN CAST(length(regexp_replace({t}, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length({t}) ELSE 0.0 END"
+_WC = "CASE WHEN length(trim({t})) = 0 THEN 0 ELSE len(regexp_split_to_array(trim({t}), '\\s+')) END"
+def _code_n(t: str) -> str:
+    # function, not a .format template: the indicators contain literal
+    # braces which break str.format
+    return " + ".join(f"CAST(contains({t}, '{i}') AS INT)" for i in CODE_INDICATORS)
+_ARTIFACTS_IN = ", ".join(f"'{w}'" for w in ARTIFACT_WORDS)
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_SHINGLES_CTE = f"""
+tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+    FROM tk
+)"""
+
+_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+ORACLE_SQL.update(
+    {
+        "valid_chunks": f"""
+SELECT doc_id,
+       (length(trim(text)) >= 50
+        AND {_WC.format(t="text")} >= 8
+        AND {_ALPHA.format(t="trim(text)")} >= 0.5
+        AND lower(trim(text)) NOT IN ({_ARTIFACTS_IN})
+        AND (length(text) - length(replace(text, '...', ''))) / 3 <= 2
+        AND NOT ({_code_n("trim(text)")} >= 3)) AS is_valid,
+       ({_code_n("text")} >= 3) AS is_code,
+       ((length(text) - length(replace(text, '.', ''))) > 10
+        AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) < 5
+        AND length(regexp_replace(text, '[^0-9]', '', 'g')) > 0) AS is_garbage,
+       (length(trim(text)) <= 100 AND (
+            (regexp_matches(trim(text), '^[0-9]') AND {_WC.format(t="text")} <= 6)
+         OR (upper(trim(text)) = trim(text) AND regexp_matches(trim(text), '[A-Z]')
+             AND {_WC.format(t="text")} <= 5)
+         OR (regexp_matches(trim(text), '^[0-9][^\\n]*:') AND {_WC.format(t="text")} <= 8)
+       )) AS is_header
+FROM documents
+""",
+        "lang_quality": f"""
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+), r AS (
+    SELECT doc_id, text, toks,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS stop_ratio
+    FROM t
+)
+SELECT doc_id,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred,
+       ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+             + {_ALPHA.format(t="text")} * 0.3
+             + LEAST(stop_ratio * 4.0, 1.0) * 0.2, 6) AS quality,
+       CAST(len(toks) AS INT) AS n_tokens,
+       md5(text) AS fp
+FROM r
+""",
+        "exact_dedup": """
+SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "ngram_jaccard": f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+sdf AS (SELECT shingle, COUNT(*) AS sh_df FROM sh GROUP BY shingle),
+cold AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle) WHERE sh_df <= 1000),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+    FROM cold x JOIN cold y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+""",
+        "minhash_lsh": f"""
+WITH {_SHINGLES_CTE},
+shl AS (SELECT doc_id, list(shingle) AS shingles FROM sh GROUP BY doc_id),
+sigs AS (
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5('1:' || s))) AS sig_1,
+           list_min(list_transform(shingles, s -> md5('2:' || s))) AS sig_2,
+           list_min(list_transform(shingles, s -> md5('3:' || s))) AS sig_3,
+           list_min(list_transform(shingles, s -> md5('4:' || s))) AS sig_4
+    FROM shl
+),
+bands AS (
+    SELECT doc_id, 0 AS band_idx, sig_1 || '|' || sig_2 AS band_val FROM sigs
+    UNION ALL
+    SELECT doc_id, 1 AS band_idx, sig_3 || '|' || sig_4 AS band_val FROM sigs
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y USING (band_idx, band_val)
+WHERE x.doc_id < y.doc_id
+""",
+        "simhash": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf, md5(term) AS h FROM tf),
+bits AS (
+    SELECT doc_id, j,
+           SUM(tf * CASE WHEN strpos('0123456789abcdef', substr(h, CAST(j AS INT), 1)) - 1 >= 8
+                         THEN 1 ELSE -1 END) AS s
+    FROM h CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) js
+    GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "ann_brute": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({_COS.format(a="embedding", b="qv")}, 6) AS sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+""",
+        "embedding_neardup": f"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND({_COS.format(a="x.embedding", b="y.embedding")}, 6) AS sim
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE x.vec_id < 300 AND y.vec_id < 300
+  AND ROUND({_COS.format(a="x.embedding", b="y.embedding")}, 6) >= 0.3
+""",
+        "phrase_match": """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'filter window', ''))) / 13 AS INT) AS n_occ
+FROM documents
+WHERE (length(text) - length(replace(text, 'filter window', ''))) / 13 >= 1
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total DESC, c_custkey ASC
+LIMIT 10
+""",
+        "events_daily_rank": """
+WITH d AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n, total,
+       CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS INT) AS rnk
+FROM d
+""",
+    }
+)
+# "ann_lsh" deliberately has no oracle: approximate op → rows-only check;
+# its recall vs ann_brute is asserted in tests/test_similarity.py.
