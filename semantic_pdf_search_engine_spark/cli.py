@@ -1,0 +1,111 @@
+"""spark-submit entry points — the reference's REPL/CLI analog
+(/root/reference/src/bin/repl/repl.rs:56-126: file / search / serve).
+
+Usage (local or `spark-submit --py-files engine.zip cli.py ...`):
+
+    python -m semantic_pdf_search_engine_spark.cli build-index \
+        --input /path/transcripts.parquet --index /path/index
+    python -m semantic_pdf_search_engine_spark.cli query \
+        --index /path/index --q "some terms" [--k 10] [--spans]
+    python -m semantic_pdf_search_engine_spark.cli bench --index /path/index
+
+`build-index` resumes from the manifest by default (the durable version
+of the reference's ready-set polling, upload.rs:52-70 / ready.rs:13-23).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="semantic-pdf-search-engine-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index", help="build/resume the inverted index")
+    b.add_argument("--input", required=True, help="transcripts parquet path")
+    b.add_argument("--index", required=True, help="index output dir")
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--stripe-docs", type=int, default=None)
+
+    q = sub.add_parser("query", help="BM25 top-k search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--spans", action="store_true", help="add match spans")
+    q.add_argument("--tree-reduce", action="store_true")
+
+    be = sub.add_parser("bench", help="query latency over the fixture set")
+    be.add_argument("--index", required=True)
+    be.add_argument("--n", type=int, default=50)
+
+    args = p.parse_args(argv)
+
+    from semantic_pdf_search_engine_spark.config import STRIPE_DOCS
+    from semantic_pdf_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "build-index":
+        from semantic_pdf_search_engine_spark.sources.index_store import build_index
+
+        df = spark.read.parquet(args.input)
+        t0 = time.time()
+        idx = build_index(
+            spark,
+            df,
+            args.index,
+            stripe_docs=args.stripe_docs or STRIPE_DOCS,
+            resume=not args.no_resume,
+        )
+        print(
+            json.dumps(
+                {
+                    "n_docs": idx.n_docs,
+                    "avgdl": round(idx.avgdl, 3),
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "query":
+        from semantic_pdf_search_engine_spark.operators.spans import refine_spans
+        from semantic_pdf_search_engine_spark.plans.query import search
+        from semantic_pdf_search_engine_spark.sources.index_store import load_index
+
+        idx = load_index(spark, args.index)
+        hits = search(idx, args.q, args.k, use_tree_reduce=args.tree_reduce)
+        if args.spans:
+            hits = refine_spans(hits, args.q)
+        for row in hits.collect():
+            print(json.dumps(row.asDict(recursive=True), default=str))
+    elif args.cmd == "bench":
+        import statistics
+
+        from semantic_pdf_search_engine_spark.fixtures import make_queries
+        from semantic_pdf_search_engine_spark.plans.query import score_topk
+        from semantic_pdf_search_engine_spark.sources.index_store import load_index
+
+        idx = load_index(spark, args.index)
+        lat = []
+        for qtext in make_queries(args.n):
+            t0 = time.time()
+            score_topk(idx, qtext, 10).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        print(
+            json.dumps(
+                {
+                    "n_queries": len(lat),
+                    "p50_sec": round(statistics.median(lat), 4),
+                    "p95_sec": round(lat[int(0.95 * (len(lat) - 1))], 4),
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

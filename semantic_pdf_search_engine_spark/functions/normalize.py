@@ -74,13 +74,35 @@ def normalize_py(text: str) -> str:
     return out.strip()
 
 
+# one pass deciding whether ANY rule could fire (real corpora are mostly
+# clean; running the 18-rule pipeline on every row wastes the common case)
+_NEEDS_WORK = re.compile(
+    "["
+    + "".join(LIGATURES)
+    + "­​‌‍﻿⁠"  # invisibles
+    + "‘’‛“”‟"  # curly quotes
+    + "–—―"  # dashes
+    + " "  # NBSP
+    + "]|-\r?\n|\\s\\s|[\\t\\r\\n]"
+)
+
+
 def normalize_series(s: pd.Series) -> pd.Series:
-    """Vectorized pandas normalizer — used inside mapInPandas batches."""
+    """Vectorized pandas normalizer — used inside mapInPandas batches.
+    Applies the rule pipeline only to rows the artifact-detector regex
+    flags; clean rows pass through untouched (identical output — every
+    rule is a no-op on rows the detector misses)."""
     out = s.fillna("")
+    mask = out.str.contains(_NEEDS_WORK, regex=True)
+    if not mask.any():
+        return out.str.strip()
+    dirty = out[mask]
     for lig, rep in LIGATURES.items():
-        out = out.str.replace(lig, rep, regex=False)
+        dirty = dirty.str.replace(lig, rep, regex=False)
     for pat, repl in _COMPILED:
-        out = out.str.replace(pat, repl, regex=True)
+        dirty = dirty.str.replace(pat, repl, regex=True)
+    out = out.copy()
+    out[mask] = dirty
     return out.str.strip()
 
 

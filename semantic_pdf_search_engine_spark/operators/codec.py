@@ -17,11 +17,13 @@ import numpy as np
 _SHIFTS = (7, 14, 21, 28, 35, 42, 49, 56, 63)
 
 
-def vb_encode(arr: np.ndarray) -> bytes:
-    """VByte-encode a 1-D array of unsigned ints."""
+def vb_encode_counts(arr: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """VByte-encode; also return per-value byte counts so callers can
+    slice the buffer at arbitrary group boundaries (the batch encoder
+    compresses a whole Arrow batch in one call and splits per block)."""
     a = np.ascontiguousarray(arr, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbytes = np.ones(a.size, dtype=np.int64)
     for s in _SHIFTS:
         nbytes += (a >= np.uint64(1) << np.uint64(s)).astype(np.int64)
@@ -37,7 +39,12 @@ def vb_encode(arr: np.ndarray) -> bytes:
         out[idx[active]] = b7[active] | (more[active].astype(np.uint8) << 7)
         idx[active] += 1
         active &= more
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def vb_encode(arr: np.ndarray) -> bytes:
+    """VByte-encode a 1-D array of unsigned ints."""
+    return vb_encode_counts(arr)[0]
 
 
 def vb_decode(buf: bytes) -> np.ndarray:

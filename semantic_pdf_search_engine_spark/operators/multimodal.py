@@ -1,0 +1,85 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery is REAL and tested: binary payload columns,
+Arrow-batched mapInPandas over bytes, schema/partitioning/batch-shape
+handling. The codec step itself (image decode, resample, frame-sample)
+is STUBBED — the decode libraries (PIL/av/torchaudio) are not in this
+container — behind `decode_stub`, which either raises
+NotImplementedError (strict mode) or produces a deterministic fake
+(metadata mode) so the distributed plumbing stays testable.
+
+The reference's analog of a binary payload is the in-memory PDF byte
+cache re-parsed at query time (/root/reference/src/bin/app/types.rs:11-22,
+handlers/search.rs:116-118).
+
+Scale notes: payloads never pass through Python row-at-a-time — Arrow
+moves the binary buffers zero-copy into the UDF; feature extraction is
+a narrow map (no shuffle); downstream joins carry only the extracted
+metadata, never the payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a binary media column: payload = utf-8 bytes of text.
+    (In production this column arrives from the lake; the point is the
+    BinaryType plumbing, not the content.)"""
+    return docs.withColumn("payload", F.col(text_col).cast("binary"))
+
+
+def decode_stub(payload: bytes, strict: bool = False) -> dict:
+    """STUB for the media decode step (no codec libs in this container).
+
+    strict=True  → NotImplementedError, the honest production posture.
+    strict=False → deterministic fake features derived from the digest,
+                   so batch shapes/schemas are exercised end-to-end.
+    """
+    if strict:
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "environment; plug a real decoder in here"
+        )
+    digest = hashlib.md5(payload).digest()
+    return {
+        "width": 64 + digest[0] % 192,  # fake, deterministic
+        "height": 64 + digest[1] % 192,
+        "n_frames": 1 + digest[2] % 30,
+    }
+
+
+def extract_media_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bytes, content_md5, width, height, n_frames) via one
+    Arrow-batched pass over the binary column."""
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = pdf[payload_col].tolist()
+            metas = [decode_stub(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "content_md5": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in payloads
+                    ],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                }
+            )
+
+    schema = (
+        f"{id_col} long, n_bytes long, content_md5 string, "
+        "width int, height int, n_frames int"
+    )
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)

@@ -73,6 +73,16 @@ def docfreq(tf: DataFrame) -> DataFrame:
     return tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
 
+def docfreq_with_tfsum(tf: DataFrame) -> DataFrame:
+    """(term, df, tf_sum) in one pass — tf_sum lets the caller derive
+    total corpus tokens (Σdl == Σtf) from the vocab-sized aggregate via
+    an Observation, instead of a second full scan of tf."""
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.col("tf").cast("long")).alias("tf_sum"),
+    )
+
+
 def build_posting_blocks(
     tf: DataFrame,
     dfreq_idf: DataFrame,
@@ -103,38 +113,59 @@ def build_posting_blocks(
     # the actual numpy encode. Here groups arrive contiguous inside
     # Arrow batches; only the batch-boundary group needs carry-over.
     def encode_partition(batches):
+        import numpy as np
+
         def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = {k: [] for k in (
-                "term", "stripe_id", "n_postings", "min_doc", "max_doc",
-                "gaps", "tfs", "dls", "max_tf", "max_contrib",
-            )}
-            for (term, stripe), g in pdf.groupby(["term", "stripe_id"], sort=False):
-                stripe = int(stripe)
-                base = stripe * stripe_docs
-                doc_ids = g["doc_id"].to_numpy()
-                tfs = g["tf"].to_numpy()
-                dls = g["dl"].to_numpy()
-                idf = float(g["idf"].iloc[0])
-                # op order pinned to match oracle.bm25_term bit-for-bit
-                contrib = (idf * (tfs * (k1 + 1.0))) / (
-                    tfs + k1 * (1.0 - b + b * dls / avgdl)
-                )
-                gaps_bin, tfs_bin, dls_bin = codec.encode_block(doc_ids, tfs, dls, base)
-                out["term"].append(term)
-                out["stripe_id"].append(stripe)
-                out["n_postings"].append(len(g))
-                out["min_doc"].append(int(doc_ids[0]))
-                out["max_doc"].append(int(doc_ids[-1]))
-                out["gaps"].append(gaps_bin)
-                out["tfs"].append(tfs_bin)
-                out["dls"].append(dls_bin)
-                out["max_tf"].append(int(tfs.max()))
-                out["max_contrib"].append(float(contrib.max()))
-            o = pd.DataFrame(out)
-            return o.astype(
-                {"stripe_id": "int64", "n_postings": "int32", "min_doc": "int64",
-                 "max_doc": "int64", "max_tf": "int32", "max_contrib": "float64"}
+            # rows arrive sorted by (term, stripe_id, doc_id); encode the
+            # whole batch with vectorized numpy and split per group —
+            # per-group cost is a bytes slice, not a pandas frame
+            # (440k groups at 900k turns made the groupby loop the
+            # build's dominant cost).
+            terms = pdf["term"].to_numpy()
+            stripes = pdf["stripe_id"].to_numpy()
+            docs = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["dl"].to_numpy()
+            idfs = pdf["idf"].to_numpy()
+            n = len(pdf)
+            new = np.ones(n, dtype=bool)
+            new[1:] = (terms[1:] != terms[:-1]) | (stripes[1:] != stripes[:-1])
+            starts = np.flatnonzero(new)
+            ends = np.concatenate([starts[1:], [n]])
+            bases = stripes[starts] * stripe_docs
+
+            gaps = np.empty(n, dtype=np.uint64)
+            if n > 1:
+                gaps[1:] = np.diff(docs)
+            gaps[starts] = docs[starts] - bases
+
+            # op order pinned to match oracle.bm25_term bit-for-bit
+            contrib = (idfs * (tfs * (k1 + 1.0))) / (
+                tfs + k1 * (1.0 - b + b * dls / avgdl)
             )
+
+            g_buf, g_nb = codec.vb_encode_counts(gaps)
+            t_buf, t_nb = codec.vb_encode_counts(tfs.astype(np.uint64))
+            d_buf, d_nb = codec.vb_encode_counts(dls.astype(np.uint64))
+            g_off = np.concatenate([[0], np.cumsum(g_nb)])
+            t_off = np.concatenate([[0], np.cumsum(t_nb)])
+            d_off = np.concatenate([[0], np.cumsum(d_nb)])
+
+            o = pd.DataFrame(
+                {
+                    "term": terms[starts],
+                    "stripe_id": stripes[starts].astype("int64"),
+                    "n_postings": (ends - starts).astype("int32"),
+                    "min_doc": docs[starts].astype("int64"),
+                    "max_doc": docs[ends - 1].astype("int64"),
+                    "gaps": [g_buf[g_off[s] : g_off[e]] for s, e in zip(starts, ends)],
+                    "tfs": [t_buf[t_off[s] : t_off[e]] for s, e in zip(starts, ends)],
+                    "dls": [d_buf[d_off[s] : d_off[e]] for s, e in zip(starts, ends)],
+                    "max_tf": np.maximum.reduceat(tfs, starts).astype("int32"),
+                    "max_contrib": np.maximum.reduceat(contrib, starts),
+                }
+            )
+            return o
 
         carry: pd.DataFrame | None = None
         for pdf in batches:

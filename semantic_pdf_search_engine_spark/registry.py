@@ -281,7 +281,40 @@ def q_events_daily_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("rnk", F.row_number().over(w))
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: bytes → Arrow UDF → typed metadata
+    (decode step stubbed; see operators/multimodal.py)."""
+    from semantic_pdf_search_engine_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_meta,
+    )
+
+    return extract_media_meta(attach_payload(_docs(spark, sf_dir)))
+
+
+def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-top-k span refinement (reference fuzzy.rs pipeline) over the
+    flagship query's BM25 winners — rows-only check (Jaro-Winkler is
+    not SQL-expressible; unit-tested against the reference's artifact
+    vectors in tests/test_spans.py)."""
+    from semantic_pdf_search_engine_spark.operators.spans import refine_spans
+
+    winners = bm25.bm25_topk(_docs(spark, sf_dir), FLAGSHIP_QUERY, DEFAULT_TOP_K)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hits = winners.join(docs, "doc_id")
+    refined = refine_spans(hits, "filter window")
+    return refined.select(
+        "doc_id",
+        F.size("matches").alias("n_matches"),
+        F.round(
+            F.coalesce(F.array_max(F.col("matches.score")), F.lit(0.0)), 6
+        ).alias("best_score"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "multimodal_meta": q_multimodal_meta,
+    "fuzzy_spans": q_fuzzy_spans,
     "tokenize_tf": q_tokenize_tf,
     "doc_length": q_doc_length,
     "docfreq": q_docfreq,
@@ -528,5 +561,29 @@ FROM d
 """,
     }
 )
-# "ann_lsh" deliberately has no oracle: approximate op → rows-only check;
-# its recall vs ann_brute is asserted in tests/test_similarity.py.
+# hex-nibble → byte value, portable across Spark/DuckDB (no conv() in DuckDB)
+_NIBBLE = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _byte(h: str, pos: int) -> str:
+    """byte `pos` (0-based) of an md5 hex string as an int expression."""
+    hi = _NIBBLE.format(h=h, i=2 * pos + 1)
+    lo = _NIBBLE.format(h=h, i=2 * pos + 2)
+    return f"({hi} * 16 + {lo})"
+
+
+ORACLE_SQL["multimodal_meta"] = f"""
+WITH p AS (SELECT doc_id, encode(text) AS payload, md5(text) AS h FROM documents)
+SELECT doc_id,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       h AS content_md5,
+       CAST(64 + {_byte("h", 0)} % 192 AS INT) AS width,
+       CAST(64 + {_byte("h", 1)} % 192 AS INT) AS height,
+       CAST(1 + {_byte("h", 2)} % 30 AS INT) AS n_frames
+FROM p
+"""
+
+# "ann_lsh" and "fuzzy_spans" deliberately have no oracle: approximate /
+# non-SQL-expressible ops → rows-only checks; ann_lsh recall is asserted
+# in tests/test_similarity.py, fuzzy span behavior in tests/test_spans.py
+# (ported reference artifact vectors).

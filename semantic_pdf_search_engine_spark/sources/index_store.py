@@ -157,35 +157,57 @@ def build_index(
     Stages commit independently with lineage manifests; `resume=True`
     skips completed stages (checkpoint resume).
     """
+    from pyspark.sql import Observation
+
     d = Path(index_dir)
     m = Manifest(index_dir)
     metrics = m.data["metrics"]
+
+    # Row counts and Σdl come from Observations attached to the SAME
+    # action that writes each stage — a post-write .count() would
+    # re-read the full parquet output (Spark does not push count() to
+    # footers by default), doubling every stage's IO.
 
     # --- stage 1: stable docIDs + docs table -------------------------------
     if not (resume and m.stage_complete("docs")):
         t0 = time.time()
         docs = assign_doc_ids(transcripts)
-        docs.write.mode("overwrite").parquet(str(d / "docs"))
-        n_rows = spark.read.parquet(str(d / "docs")).count()
+        obs = Observation("docs")
+        docs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(str(d / "docs"))
+        n_rows = int(obs.get["rows"])
         dt = m.record("docs", d / "docs", n_rows, t0)
         metrics["docs_turns_per_sec"] = round(n_rows / dt, 1)
     docs = spark.read.parquet(str(d / "docs"))
     n_turns = m.data["stages"]["docs"]["rows"]
 
-    # --- stage 2: term frequencies (transient, persisted for reuse) --------
-    tf = P.term_frequencies(docs, text_col=text_col)
+    # --- stage 2: term frequencies (persisted: the expensive stage) --------
     if not (resume and m.stage_complete("tf")):
         t0 = time.time()
-        tf.write.mode("overwrite").parquet(str(d / "tf"))
-        rows = spark.read.parquet(str(d / "tf")).count()
-        dt = m.record("tf", d / "tf", rows, t0)
+        tf = P.term_frequencies(docs, text_col=text_col)
+        obs = Observation("tf")
+        tf.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(str(d / "tf"))
+        dt = m.record("tf", d / "tf", int(obs.get["rows"]), t0)
         metrics["tokenize_turns_per_sec"] = round(n_turns / dt, 1)
     tf = spark.read.parquet(str(d / "tf"))
 
     # --- stage 3: corpus stats + docfreq/idf --------------------------------
     if not (resume and m.stage_complete("docfreq")):
         t0 = time.time()
-        n_docs, avgdl = P.corpus_stats(docs, tf)
+        # n_docs = stage-1 row count (docIDs are dense over all turns);
+        # Σdl == Σtf comes out of the docfreq aggregation itself via an
+        # Observation — corpus stats cost ZERO extra passes over tf.
+        n_docs = n_turns
+        dfreq_raw = P.docfreq_with_tfsum(tf)
+        obs = Observation("df")
+        dfreq_cnt = dfreq_raw.observe(
+            obs,
+            F.sum("tf_sum").alias("total_tokens"),
+            F.count(F.lit(1)).alias("rows"),
+        )
 
         # idf via numpy on executors — ONE libm implementation shared
         # bit-exactly by stored idf, block-max bounds, and the numpy
@@ -197,13 +219,17 @@ def build_index(
 
             return np.log(1.0 + (float(n_docs) - dfs + 0.5) / (dfs + 0.5))
 
-        dfreq = P.docfreq(tf).withColumn("idf", idf_udf(F.col("df").cast("double")))
-        dfreq.write.mode("overwrite").parquet(str(d / "docfreq"))
-        rows = spark.read.parquet(str(d / "docfreq")).count()
+        dfreq_cnt.withColumn("idf", idf_udf(F.col("df").cast("double"))).drop(
+            "tf_sum"
+        ).write.mode("overwrite").parquet(str(d / "docfreq"))
+        avgdl = (float(obs.get["total_tokens"] or 0) / n_docs) if n_docs else 0.0
         m.data["params"].update(
             {"n_docs": n_docs, "avgdl": avgdl, "stripe_docs": stripe_docs}
         )
-        dt = m.record("docfreq", d / "docfreq", rows, t0, {"n_docs": n_docs, "avgdl": avgdl})
+        dt = m.record(
+            "docfreq", d / "docfreq", int(obs.get["rows"]), t0,
+            {"n_docs": n_docs, "avgdl": avgdl},
+        )
         metrics["stats_turns_per_sec"] = round(n_turns / dt, 1)
     n_docs = m.data["params"]["n_docs"]
     avgdl = m.data["params"]["avgdl"]
@@ -219,11 +245,13 @@ def build_index(
         # shuffle partition writes a sliver into every bucket directory
         # (P × NUM_TERM_BUCKETS small files); blocks are compact, so
         # this extra shuffle moves little data
-        blocks.repartition(NUM_TERM_BUCKETS, "term_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("term_bucket").parquet(str(d / "postings"))
-        rows = spark.read.parquet(str(d / "postings")).count()
-        dt = m.record("postings", d / "postings", rows, t0)
+        obs = Observation("postings")
+        blocks.observe(obs, F.count(F.lit(1)).alias("rows")).repartition(
+            NUM_TERM_BUCKETS, "term_bucket"
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+            str(d / "postings")
+        )
+        dt = m.record("postings", d / "postings", int(obs.get["rows"]), t0)
         metrics["postings_turns_per_sec"] = round(n_turns / dt, 1)
 
     m.save()

@@ -1,0 +1,77 @@
+"""Span refinement — the 8 artifact classes from the reference's fuzzy
+tests (/root/reference/src/fuzzy.rs:183-287; FIXTURES.md §3) must match
+after normalization, plus Jaro-Winkler sanity and the end-to-end
+search+refine pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from semantic_pdf_search_engine_spark.functions.normalize import normalize_py
+from semantic_pdf_search_engine_spark.operators.spans import (
+    dedup_spans,
+    fuzzy_find,
+    jaro,
+    jaro_winkler,
+    refine_spans,
+    snap_to_sentence,
+)
+
+ARTIFACT_CASES = [
+    ("infor-\nmation retrieval", "information", 0.95),
+    ("the  quick   brown  fox", "quick brown", 0.90),
+    ("a self-\ncontained system", "self-contained", 0.85),
+    ("compre­hensive guide", "comprehensive", 0.95),
+    ("the  result.  The  value  is  correct", "result. The value", 0.90),
+    ("wordswithoutspaces", "without", 0.99),  # exact substring
+    ("“quoted text”", '"quoted text"', 0.95),
+    ("well—known fact", "well-known", 0.95),
+]
+
+
+@pytest.mark.parametrize("haystack,needle,thr", ARTIFACT_CASES)
+def test_artifact_match(haystack, needle, thr):
+    h = normalize_py(haystack)
+    n = normalize_py(needle)
+    spans = fuzzy_find(h, n, threshold=thr)
+    assert spans, f"no match: {h!r} / {n!r}"
+    assert spans[0][2] >= thr
+
+
+def test_jaro_known_values():
+    assert jaro("martha", "marhta") == pytest.approx(0.944444, abs=1e-5)
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.961111, abs=1e-5)
+    assert jaro("abc", "abc") == 1.0
+    assert jaro("abc", "xyz") == 0.0
+    assert jaro("", "x") == 0.0
+
+
+def test_exact_short_circuit_all_occurrences():
+    spans = fuzzy_find("ab cd ab cd ab", "ab")
+    assert [(s, e) for s, e, _ in spans] == [(0, 2), (6, 8), (12, 14)]
+    assert all(sc == 1.0 for _, _, sc in spans)
+
+
+def test_dedup_keeps_best_non_overlapping():
+    spans = [(0, 10, 0.9), (5, 15, 0.95), (20, 25, 0.86)]
+    assert dedup_spans(spans) == [(5, 15, 0.95), (20, 25, 0.86)]
+
+
+def test_snap_to_sentence():
+    text = "First one. The match is here. Another trails."
+    s, e = snap_to_sentence(text, 15, 20)  # inside second sentence
+    assert text[s:e] == "The match is here."
+
+
+def test_refine_spans_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, "Alpha beta. The infor-\nmation lives here. Tail."),
+         (2, "no relevant content at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["matches"] for r in refine_spans(df, "information").collect()}
+    assert len(out[1]) == 1
+    m = out[1][0]
+    norm = normalize_py("Alpha beta. The infor-\nmation lives here. Tail.")
+    assert "information" in norm[m["start"] : m["end"]].lower()
+    assert out[2] == []
