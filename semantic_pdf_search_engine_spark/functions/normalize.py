@@ -106,12 +106,20 @@ def normalize_series(s: pd.Series) -> pd.Series:
     return out.str.strip()
 
 
-def normalize_expr(col: Column) -> Column:
-    """Spark Column version (regexp_replace chain, whole-stage codegen)."""
+def normalize_expr(col: Column, gated: bool = True) -> Column:
+    """Spark Column version (regexp_replace chain, whole-stage codegen).
+
+    gated=True applies the same artifact-detector short-circuit as the
+    pandas path: one rlike decides whether the 18-replace chain runs —
+    clean rows (the overwhelming majority in real corpora) pay one
+    regex scan instead of eighteen.
+    """
     out = col
     for lig, rep in LIGATURES.items():
         out = F.regexp_replace(out, lig, rep)
     for pat, repl in RULES:
         # $ in Java regex replacement is a group ref; none of our repls use it
         out = F.regexp_replace(out, pat, repl)
+    if gated:
+        return F.trim(F.when(col.rlike(_NEEDS_WORK.pattern), out).otherwise(col))
     return F.trim(out)
