@@ -88,6 +88,7 @@ def run_build_and_queries(master_cores: int, workdir: str, n_convs: int, n_queri
     steal_pct = round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 1)
     n_turns = idx.n_docs
 
+    idx.prepare()  # query-serving posture: postings resident in memory
     lat = []
     for q in make_queries(n_queries):
         tq = time.time()

@@ -46,9 +46,13 @@ from semantic_pdf_search_engine_spark.config import B, K1, STRIPE_DOCS
 from semantic_pdf_search_engine_spark.functions.tokenize import term_freq_map_in_pandas
 from semantic_pdf_search_engine_spark.operators import codec
 
+# idf is denormalized into every block: one double per block row buys
+# query-time independence from the docfreq table (one fewer Spark job
+# per query — the driver never has to look idf up before scoring)
 POSTINGS_SCHEMA = (
     "term string, stripe_id long, n_postings int, min_doc long, max_doc long, "
-    "gaps binary, tfs binary, dls binary, max_tf int, max_contrib double"
+    "gaps binary, tfs binary, dls binary, max_tf int, max_contrib double, "
+    "idf double"
 )
 
 
@@ -194,6 +198,7 @@ def build_posting_blocks(
                     "dls": [d_buf[d_off[s] : d_off[e]] for s, e in zip(starts, ends)],
                     "max_tf": np.maximum.reduceat(tfs, starts).astype("int32"),
                     "max_contrib": np.maximum.reduceat(contrib, starts),
+                    "idf": idfs[starts],
                 }
             )
             return o

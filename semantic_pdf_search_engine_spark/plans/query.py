@@ -69,13 +69,11 @@ def score_topk(
     if not q_terms:
         return empty  # empty-query guard (reference P8, search.rs:20-22)
 
-    idf_map = index.idf_of_terms(q_terms)  # ≤|q| rows collected
-    if not idf_map:
-        return empty
-
-    buckets = sorted({term_bucket_of(t) for t in idf_map})
+    # idf rides inside the posting blocks — no docfreq lookup job;
+    # absent terms simply match no blocks
+    buckets = sorted({term_bucket_of(t) for t in q_terms})
     qblocks = index.postings.filter(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(idf_map))
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(q_terms)
     )
 
     if prune:
@@ -91,7 +89,6 @@ def score_topk(
     stripe_docs = index.stripe_docs
     avgdl = index.avgdl
     k1, b = K1, B
-    idf_items = sorted(idf_map.items())  # canonical term order
 
     def score_stripe(pdf: pd.DataFrame) -> pd.DataFrame:
         from semantic_pdf_search_engine_spark.operators.codec import decode_block
@@ -100,15 +97,12 @@ def score_topk(
         base = stripe * stripe_docs
         scores = np.zeros(stripe_docs, dtype=np.float64)
         seen = np.zeros(stripe_docs, dtype=bool)
-        by_term = {t: i for i, t in enumerate(pdf["term"].tolist())}
         # canonical (sorted-term) accumulation order == oracle order
-        for term, idf in idf_items:
-            i = by_term.get(term)
-            if i is None:
-                continue
-            row = pdf.iloc[i]
-            docs, tfs, dls = decode_block(row["gaps"], row["tfs"], row["dls"], base)
+        pdf = pdf.sort_values("term", kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            docs, tfs, dls = decode_block(row.gaps, row.tfs, row.dls, base)
             off = docs - base
+            idf = row.idf
             # op order pinned to match oracle.bm25_term bit-for-bit
             contrib = (idf * (tfs * (k1 + 1.0))) / (
                 tfs + k1 * (1.0 - b + b * dls / avgdl)

@@ -114,13 +114,34 @@ class InvertedIndex:
     avgdl: float
     stripe_docs: int
 
+    _postings_cached: DataFrame | None = None
+    _docfreq_cached: DataFrame | None = None
+
     @property
     def postings(self) -> DataFrame:
+        if self._postings_cached is not None:
+            return self._postings_cached
         return self.spark.read.parquet(f"{self.index_dir}/postings")
 
     @property
     def docfreq(self) -> DataFrame:
+        if self._docfreq_cached is not None:
+            return self._docfreq_cached
         return self.spark.read.parquet(f"{self.index_dir}/docfreq")
+
+    def prepare(self) -> "InvertedIndex":
+        """Pin the hot read path in executor memory for a query-serving
+        session (a real deployment keeps postings resident; per-query
+        parquet re-reads are a cold-start artifact). Lazy on first use."""
+        self._postings_cached = self.spark.read.parquet(
+            f"{self.index_dir}/postings"
+        ).persist()
+        self._docfreq_cached = self.spark.read.parquet(
+            f"{self.index_dir}/docfreq"
+        ).persist()
+        self._postings_cached.count()
+        self._docfreq_cached.count()
+        return self
 
     @property
     def docs(self) -> DataFrame:
