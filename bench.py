@@ -95,6 +95,25 @@ def run_build_and_queries(master_cores: int, workdir: str, n_convs: int, n_queri
         score_topk(idx, q, 10).collect()
         lat.append(time.time() - tq)
     p50 = statistics.median(lat)
+
+    # compute-bound scaling exhibit: fuzzy span refinement (Jaro-Winkler,
+    # Z1/Z3 reference parity) over 5k turns — CPU-dense, bandwidth-light,
+    # so it tracks core count where the bandwidth-bound build cannot
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.operators.spans import refine_spans
+
+    span_docs = (
+        idx.docs.filter(F.col("doc_id") < 5000)
+        .select("doc_id", "text")
+        .repartition(master_cores * 4)
+    )
+    needle = make_queries(5)[1]
+    t0 = time.time()
+    n_span_rows = refine_spans(span_docs, needle).agg(
+        F.sum(F.size("matches")).alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]["n"]
+    spans_sec = time.time() - t0
     spark.stop()
     return {
         "n_turns": n_turns,
@@ -102,6 +121,7 @@ def run_build_and_queries(master_cores: int, workdir: str, n_convs: int, n_queri
         "turns_per_sec": round(n_turns / build_sec, 1),
         "query_p50_sec": round(p50, 3),
         "query_p95_sec": round(sorted(lat)[int(0.95 * (len(lat) - 1))], 3),
+        "spans_rows_per_sec": round(n_span_rows / spans_sec, 1),
         "host_steal_pct_during_build": steal_pct,
     }
 
@@ -158,12 +178,18 @@ def main():
         }
         r_small, r_big = best[n_small], best[n_big]
         eff = (r_big["turns_per_sec"] / r_small["turns_per_sec"]) / (n_big / n_small)
+        span_eff = round(
+            (r_big["spans_rows_per_sec"] / r_small["spans_rows_per_sec"])
+            / (n_big / n_small),
+            3,
+        )
         print(
             json.dumps(
                 {
                     "metric": f"scaling_efficiency_local{n_small}_to_local{n_big}",
                     "value": round(eff, 3),
                     "unit": "ratio",
+                    "compute_bound_spans_efficiency": span_eff,
                     f"local{n_small}": r_small,
                     f"local{n_big}": r_big,
                     "all_runs": results,

@@ -170,16 +170,26 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
+# Pair-generating dedup demos run on a bounded doc range: the testdata
+# vocabulary is ~31 words, so EVERY doc shares shingles — candidate
+# generation is quadratic there by construction (real corpora have
+# heavy-tailed shingle frequencies where banding actually prunes).
+# The bound is applied identically in the SQL twins.
+_PAIR_BOUND = 1000
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _PAIR_BOUND)
+    return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _PAIR_BOUND)
+    return minhash_lsh_pairs(docs)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,7 +400,7 @@ tk AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
                        x -> x <> '') AS toks
-    FROM documents
+    FROM documents WHERE doc_id < 1000
 ),
 sh AS (
     SELECT doc_id,

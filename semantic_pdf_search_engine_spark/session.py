@@ -39,5 +39,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd ≈ snappy decode speed at ~2x the ratio — the build is
+        # partly disk-bound (shared disk = serial fraction under core
+        # scaling), so fewer bytes is direct wall time
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
     )
     return builder.getOrCreate()
