@@ -46,13 +46,17 @@ from semantic_pdf_search_engine_spark.config import B, K1, STRIPE_DOCS
 from semantic_pdf_search_engine_spark.functions.tokenize import term_freq_map_in_pandas
 from semantic_pdf_search_engine_spark.operators import codec
 
-# idf is denormalized into every block: one double per block row buys
-# query-time independence from the docfreq table (one fewer Spark job
-# per query — the driver never has to look idf up before scoring)
+# Pruning metadata is stored as RAW POSTING FACTS, not scores:
+# (top_tf, top_dl) are the tf/dl of the posting that maximizes the BM25
+# contribution under build-time stats. Scores computed from them at
+# query time with CURRENT (N, avgdl, df) are therefore achievable by a
+# real document no matter how corpus stats drift under incremental
+# appends — the block-max lower bound stays valid across segment
+# merges, where a stored max_contrib would go stale (idf and avgdl
+# change with every appended segment).
 POSTINGS_SCHEMA = (
     "term string, stripe_id long, n_postings int, min_doc long, max_doc long, "
-    "gaps binary, tfs binary, dls binary, max_tf int, max_contrib double, "
-    "idf double"
+    "gaps binary, tfs binary, dls binary, max_tf int, top_tf int, top_dl int"
 )
 
 
@@ -174,10 +178,24 @@ def build_posting_blocks(
                 gaps[1:] = np.diff(docs)
             gaps[starts] = docs[starts] - bases
 
+            # contrib used only to pick the per-block argmax posting;
             # op order pinned to match oracle.bm25_term bit-for-bit
             contrib = (idfs * (tfs * (k1 + 1.0))) / (
                 tfs + k1 * (1.0 - b + b * dls / avgdl)
             )
+            # per-group argmax via reduceat on (contrib) then a masked
+            # first-match scan — contrib ties resolve to the earliest
+            # (lowest doc_id) posting, deterministic
+            seg_ids = np.repeat(np.arange(starts.size), ends - starts)
+            grp_max = np.maximum.reduceat(contrib, starts)
+            is_max = contrib == grp_max[seg_ids]
+            # first True per group
+            first_idx = np.zeros(starts.size, dtype=np.int64)
+            idx_all = np.flatnonzero(is_max)
+            # keep the first max index per group
+            grp_of = seg_ids[idx_all]
+            _, first_pos = np.unique(grp_of, return_index=True)
+            first_idx = idx_all[first_pos]
 
             g_buf, g_nb = codec.vb_encode_counts(gaps)
             t_buf, t_nb = codec.vb_encode_counts(tfs.astype(np.uint64))
@@ -197,8 +215,8 @@ def build_posting_blocks(
                     "tfs": [t_buf[t_off[s] : t_off[e]] for s, e in zip(starts, ends)],
                     "dls": [d_buf[d_off[s] : d_off[e]] for s, e in zip(starts, ends)],
                     "max_tf": np.maximum.reduceat(tfs, starts).astype("int32"),
-                    "max_contrib": np.maximum.reduceat(contrib, starts),
-                    "idf": idfs[starts],
+                    "top_tf": tfs[first_idx].astype("int32"),
+                    "top_dl": dls[first_idx].astype("int32"),
                 }
             )
             return o

@@ -177,6 +177,9 @@ def refine_spans(
     """Add `matches ARRAY<STRUCT<start:int, end:int, score:double>>`
     locating the (normalized) query inside each hit's text."""
     needle = normalize_py(query)
+    # per-term fallback for multi-term queries: a BM25 hit rarely
+    # contains the whole query as a phrase — highlight each term
+    term_needles = [t for t in needle.lower().split() if t]
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in hits.schema.fields)
         + ", matches array<struct<start:int, end:int, score:double>>"
@@ -188,6 +191,11 @@ def refine_spans(
             for text in pdf[text_col].tolist():
                 hay = normalize_py(text or "")
                 spans = fuzzy_find(hay, needle, threshold)
+                if not spans and len(term_needles) > 1:
+                    per_term: list[tuple[int, int, float]] = []
+                    for t in term_needles:
+                        per_term.extend(fuzzy_find(hay, t, threshold))
+                    spans = dedup_spans(per_term)
                 if snap:
                     spans = dedup_spans(
                         [(*snap_to_sentence(hay, s, e), sc) for s, e, sc in spans]

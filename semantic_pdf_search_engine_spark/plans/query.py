@@ -69,20 +69,47 @@ def score_topk(
     if not q_terms:
         return empty  # empty-query guard (reference P8, search.rs:20-22)
 
-    # idf rides inside the posting blocks — no docfreq lookup job;
-    # absent terms simply match no blocks
-    buckets = sorted({term_bucket_of(t) for t in q_terms})
+    idf_map = index.idf_of_terms(q_terms)  # fresh idf — valid across appends
+    if not idf_map:
+        return empty
+
+    buckets = sorted({term_bucket_of(t) for t in idf_map})
     qblocks = index.postings.filter(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(q_terms)
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(idf_map))
     )
+    qidf = spark.createDataFrame(
+        [(t, float(v)) for t, v in sorted(idf_map.items())], "term string, idf double"
+    )
+    qblocks = qblocks.join(F.broadcast(qidf), "term")
+
+    k1, b = K1, B
+    avgdl = index.avgdl
 
     if prune:
+        # bounds recomputed from RAW posting facts under CURRENT stats:
+        #   ub: dl→0 limit of the contribution at the block's max tf —
+        #       no posting can exceed it under any dl;
+        #   lb: exact contribution of a real stored posting (top_tf,
+        #       top_dl) — achievable now, however stats drifted since
+        #       the block was built (append/merge-proof).
+        ub = F.col("idf") * (
+            F.col("max_tf") * F.lit(K1 + 1.0)
+        ) / (F.col("max_tf") + F.lit(K1 * (1.0 - B)))
+        lb = (
+            F.col("idf") * (F.col("top_tf") * F.lit(K1 + 1.0))
+        ) / (
+            F.col("top_tf")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("top_dl") / F.lit(avgdl))
+        )
         meta = qblocks.groupBy("stripe_id").agg(
-            F.sum("max_contrib").alias("ub"), F.max("max_contrib").alias("lb")
+            F.sum(ub).alias("ub"), F.max(lb).alias("lb")
         )
         top_lbs = [r["lb"] for r in meta.orderBy(F.col("lb").desc()).limit(k).collect()]
         if len(top_lbs) >= k:
-            threshold = top_lbs[-1]
+            # 1-ulp guard: the JVM computes lb, numpy computes the real
+            # scores — shave a relative epsilon so a last-place tie can
+            # never be pruned by cross-runtime rounding
+            threshold = top_lbs[-1] * (1.0 - 1e-12)
             kept = meta.filter(F.col("ub") >= threshold).select("stripe_id")
             qblocks = qblocks.join(F.broadcast(kept), "stripe_id")
 

@@ -243,9 +243,15 @@ def build_index(
         dfreq_cnt.withColumn("idf", idf_udf(F.col("df").cast("double"))).drop(
             "tf_sum"
         ).write.mode("overwrite").parquet(str(d / "docfreq"))
-        avgdl = (float(obs.get["total_tokens"] or 0) / n_docs) if n_docs else 0.0
+        total_tokens = int(obs.get["total_tokens"] or 0)
+        avgdl = (float(total_tokens) / n_docs) if n_docs else 0.0
         m.data["params"].update(
-            {"n_docs": n_docs, "avgdl": avgdl, "stripe_docs": stripe_docs}
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "stripe_docs": stripe_docs,
+                "total_tokens": total_tokens,
+            }
         )
         dt = m.record(
             "docfreq", d / "docfreq", int(obs.get["rows"]), t0,
@@ -277,3 +283,99 @@ def build_index(
 
     m.save()
     return InvertedIndex(spark, index_dir, n_docs, avgdl, stripe_docs)
+
+
+def append_to_index(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+) -> InvertedIndex:
+    """Incremental segment append (the LSM move: Lucene segment commit
+    re-expressed as Spark jobs; reference analog = per-upload async
+    index job, /root/reference/src/bin/app/handlers/upload.rs:52-70).
+
+    - new turns get docIDs offset past the existing corpus (docIDs stay
+      dense; the global (conv_id, turn_idx) order invariant holds when
+      appends arrive log-structured, i.e. new conv_ids sort after old);
+    - new posting blocks land in NEW stripes (doc ranges are disjoint),
+      so the merge is a pure append of block rows — no rewrite of old
+      blocks. A stripe shared at the boundary simply has two block rows
+      per term; the scorer accumulates both (doc ranges disjoint);
+    - docfreq is merged (summed df, idf recomputed under the new N) and
+      corpus stats updated. Old blocks stay VALID because pruning
+      bounds are recomputed at query time from raw (max_tf, top_tf,
+      top_dl) facts — nothing score-like is persisted (see
+      operators/postings.POSTINGS_SCHEMA note).
+    """
+    d = Path(index_dir)
+    m = Manifest(index_dir)
+    params = m.data["params"]
+    n_old = params["n_docs"]
+    total_old = params["total_tokens"]
+    stripe_docs = params["stripe_docs"]
+
+    t0 = time.time()
+    new_docs = assign_doc_ids(new_transcripts).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(n_old)
+    )
+    new_docs.persist()
+    n_new = new_docs.count()
+    new_docs.write.mode("append").parquet(str(d / "docs"))
+
+    tf_new = P.term_frequencies(new_docs, text_col=text_col)
+    tf_new.persist()
+    total_new = (
+        tf_new.agg(F.sum(F.col("tf").cast("long")).alias("t")).collect()[0]["t"] or 0
+    )
+    tf_new.write.mode("append").parquet(str(d / "tf"))
+
+    n_all = n_old + n_new
+    total_all = total_old + int(total_new)
+    avgdl = float(total_all) / n_all if n_all else 0.0
+
+    # merge docfreq: old df + new per-term df, idf under the new N
+    df_new = P.docfreq(tf_new)
+    df_old = spark.read.parquet(str(d / "docfreq")).select("term", "df")
+    merged = (
+        df_old.unionByName(df_new)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+
+    @F.pandas_udf("double")
+    def idf_udf(dfs):
+        import numpy as np
+
+        return np.log(1.0 + (float(n_all) - dfs + 0.5) / (dfs + 0.5))
+
+    merged = merged.withColumn("idf", idf_udf(F.col("df").cast("double")))
+    tmp_df = str(d / "docfreq_tmp")
+    merged.write.mode("overwrite").parquet(tmp_df)
+    import shutil
+
+    shutil.rmtree(d / "docfreq")
+    os.replace(tmp_df, d / "docfreq")
+
+    # new posting blocks — merged idf only steers the argmax pick
+    dfreq_idf = spark.read.parquet(str(d / "docfreq")).select("term", "idf")
+    blocks = P.build_posting_blocks(
+        tf_new, dfreq_idf, avgdl, stripe_docs
+    ).withColumn("term_bucket", term_bucket_udf(F.col("term")))
+    blocks.repartition(NUM_TERM_BUCKETS, "term_bucket").write.mode(
+        "append"
+    ).partitionBy("term_bucket").parquet(str(d / "postings"))
+
+    new_docs.unpersist()
+    tf_new.unpersist()
+
+    params.update({"n_docs": n_all, "avgdl": avgdl, "total_tokens": total_all})
+    seg_id = sum(1 for s in m.data["stages"] if s.startswith("append_"))
+    m.record(
+        f"append_{seg_id}",
+        d / "postings",
+        n_new,
+        t0,
+        {"n_new_turns": n_new, "n_docs_after": n_all},
+    )
+    return InvertedIndex(spark, index_dir, n_all, avgdl, stripe_docs)

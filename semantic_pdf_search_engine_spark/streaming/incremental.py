@@ -62,6 +62,47 @@ def start_incremental_tf(
     )
 
 
+def start_incremental_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Stream transcript files directly into the inverted index: the
+    first micro-batch bootstraps a full build, every later batch is an
+    append_to_index segment commit (merge-proof pruning bounds make the
+    old segments valid under the drifting stats — see index_store).
+    Exactly-once by stream checkpoint; an append replayed after a crash
+    before checkpoint commit is the one at-least-once edge, closed in
+    production by staging each segment under its batchId and publishing
+    via manifest (same pattern as the batch stages)."""
+    from pathlib import Path
+
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        append_to_index,
+        build_index,
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        if not (Path(index_dir) / "manifest.json").exists():
+            build_index(spark, batch_df, index_dir)
+        else:
+            append_to_index(spark, batch_df, index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_segments(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge all delta segments into one tf table (the segment-merge
     job; groupBy is exact because a (conv, turn) lives in exactly one

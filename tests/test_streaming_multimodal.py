@@ -56,6 +56,41 @@ def test_streaming_checkpoint_no_reprocess(spark, tmp_path):
     assert second == first
 
 
+def test_streaming_into_index(spark, tmp_path):
+    """File stream → bootstrap build + appends; final index answers a
+    query identically to a one-shot batch build over the same turns."""
+    from semantic_pdf_search_engine_spark.fixtures import make_queries
+    from semantic_pdf_search_engine_spark.plans.query import score_topk
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        build_index,
+        load_index,
+    )
+    from semantic_pdf_search_engine_spark.streaming.incremental import (
+        start_incremental_index,
+    )
+
+    pdf = make_transcripts(n_convs=10).sort_values(["conv_id", "turn_idx"])
+    df = spark.createDataFrame(pdf)
+    inp = str(tmp_path / "in")
+    # log-structured arrival: one file per conv prefix, ordered
+    a = pdf[pdf["conv_id"] < "conv00000005"]
+    b = pdf[pdf["conv_id"] >= "conv00000005"]
+    spark.createDataFrame(a).coalesce(1).write.parquet(inp)
+    q = start_incremental_index(spark, inp, str(tmp_path / "sidx"), str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(inp)
+    q = start_incremental_index(spark, inp, str(tmp_path / "sidx"), str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    batch_idx = build_index(spark, df, str(tmp_path / "bidx"), stripe_docs=None or 64)
+    stream_idx = load_index(spark, str(tmp_path / "sidx"))
+    assert stream_idx.n_docs == batch_idx.n_docs
+    query = make_queries(3)[1]
+    want = [(r["doc_id"], r["score"]) for r in score_topk(batch_idx, query, 10).collect()]
+    got = [(r["doc_id"], r["score"]) for r in score_topk(stream_idx, query, 10).collect()]
+    assert got == want
+
+
 def test_multimodal_meta(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "αβγ unicode content")], "doc_id long, text string"
