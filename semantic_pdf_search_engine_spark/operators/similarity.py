@@ -123,6 +123,90 @@ def lsh_cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a seeded sample, trained
+    driver-side in numpy (standard IVF practice — training touches a
+    bounded sample regardless of corpus size; only ASSIGNMENT is
+    distributed). L2-normalized centroids (cosine ≡ inner product)."""
+    rows = (
+        emb.select(vec_col)
+        .orderBy(F.crc32(F.col(id_col).cast("string")))  # deterministic shuffle
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Add `_ivf_bucket`: argmax-cosine centroid, via one Arrow-batched
+    numpy matmul per batch (on a materialized index this is the
+    partition column — queries then prune to n_probe directories)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    c = centroids
+
+    def _assign(vecs):
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ c.T).argmax(axis=1).astype("int32"))
+
+    assign_udf = F.pandas_udf(_assign, IntegerType())
+
+    return emb.withColumn("_ivf_bucket", assign_udf(F.col(vec_col)))
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: score only vectors in the query's n_probe nearest
+    centroid buckets. Approximate (recall < 1 when n_probe < n_centroids);
+    tested against the brute path."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    cand = ivf_assign(emb, centroids, vec_col).filter(
+        F.col("_ivf_bucket").isin([int(p) for p in probes])
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col), F.round(cosine_expr(F.col(vec_col), qcol), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,

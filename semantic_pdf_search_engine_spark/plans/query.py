@@ -61,8 +61,21 @@ def score_topk(
     round_scores: bool = True,
     prune: bool = True,
     use_tree_reduce: bool = False,
+    conv_id: str | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) from the compressed posting blocks."""
+    """Top-k (doc_id, score) from the compressed posting blocks.
+
+    `conv_id` scopes the search to one conversation — the reference's
+    filename filter evaluated INSIDE the index (/root/reference/src/
+    qdrant.rs:84-90), not as a post-filter: docIDs are dense in
+    (conv_id, turn_idx) order, so a conversation is one contiguous
+    docID range; blocks whose [min_doc, max_doc] miss the range are
+    skipped at the scan, and the scorer masks the range inside the
+    stripe. Stats stay global (scoped BM25 semantics, same as the
+    relational path). Threshold pruning is disabled under scope: a
+    block's top posting may lie outside the range, making the lower
+    bound unachievable in scope.
+    """
     spark = index.spark
     q_terms = sorted(set(tokenize_py(query)))
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -73,10 +86,28 @@ def score_topk(
     if not idf_map:
         return empty
 
+    scope_range: tuple[int, int] | None = None
+    if conv_id is not None:
+        row = (
+            index.docs.filter(F.col("conv_id") == conv_id)
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()[0]
+        )
+        if row["lo"] is None:
+            return empty
+        scope_range = (int(row["lo"]), int(row["hi"]))
+        prune = False  # lb not achievable-in-scope; range skipping below
+
     buckets = sorted({term_bucket_of(t) for t in idf_map})
     qblocks = index.postings.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(list(idf_map))
     )
+    if scope_range is not None:
+        lo, hi = scope_range
+        # block-range skipping: pushed to the scan via min/max stats
+        qblocks = qblocks.filter(
+            (F.col("max_doc") >= lo) & (F.col("min_doc") <= hi)
+        )
     qidf = spark.createDataFrame(
         [(t, float(v)) for t, v in sorted(idf_map.items())], "term string, idf double"
     )
@@ -128,6 +159,11 @@ def score_topk(
         pdf = pdf.sort_values("term", kind="mergesort")
         for row in pdf.itertuples(index=False):
             docs, tfs, dls = decode_block(row.gaps, row.tfs, row.dls, base)
+            if scope_range is not None:
+                mask = (docs >= scope_range[0]) & (docs <= scope_range[1])
+                if not mask.any():
+                    continue
+                docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
             off = docs - base
             idf = row.idf
             # op order pinned to match oracle.bm25_term bit-for-bit

@@ -216,6 +216,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, list(qv), k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN — rows-only check (approximate by design);
+    recall vs brute asserted in tests/test_similarity.py."""
+    from semantic_pdf_search_engine_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_cosine_topk(emb, list(qv), k=10)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.similarity import (
         embedding_neardup_pairs,
@@ -322,9 +332,49 @@ def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish tokenization regex: letter runs, 1-3 digit groups, single
+# punctuation — deliberately RE2-safe (no lookarounds) so Java (Spark)
+# and RE2 (DuckDB) agree byte-for-byte.
+BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword pieces."""
+    from semantic_pdf_search_engine_spark.functions.quality import word_count
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        word_count(t).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0)).cast("int").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: Σ position·tokhash over the
+    pinned token stream (tokhash = first 4 md5 bytes). Exact int64
+    arithmetic — identical in Spark and DuckDB."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    toks = tokens_expr(F.col("text"))
+    exploded = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    tokhash = F.conv(
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return exploded.groupBy("doc_id").agg(
+        F.sum((F.col("pos") + F.lit(1)) * tokhash).alias("fp")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "fuzzy_spans": q_fuzzy_spans,
+    "token_stats": q_token_stats,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "tokenize_tf": q_tokenize_tf,
     "doc_length": q_doc_length,
     "docfreq": q_docfreq,
@@ -339,6 +389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "phrase_match": q_phrase_match,
     "pricing_summary": q_pricing_summary,
@@ -591,6 +642,33 @@ SELECT doc_id,
        CAST(64 + {_byte("h", 1)} % 192 AS INT) AS height,
        CAST(1 + {_byte("h", 2)} % 30 AS INT) AS n_frames
 FROM p
+"""
+
+ORACLE_SQL["token_stats"] = f"""
+SELECT doc_id,
+       {_WC.format(t="text")}::INT AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+_TOKHASH = (
+    f"({_byte('h', 0)}::BIGINT * 16777216 + {_byte('h', 1)} * 65536 "
+    f"+ {_byte('h', 2)} * 256 + {_byte('h', 3)})"
+)
+
+ORACLE_SQL["rolling_fingerprint"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i, md5(toks[i]) AS h
+    FROM tk, unnest(generate_series(1, len(toks))) AS g(i)
+)
+SELECT doc_id, CAST(SUM(i * {_TOKHASH}) AS BIGINT) AS fp
+FROM pos GROUP BY doc_id
 """
 
 # "ann_lsh" and "fuzzy_spans" deliberately have no oracle: approximate /

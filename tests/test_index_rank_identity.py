@@ -12,6 +12,7 @@ Also: per-turn text equality after round-trip under stable ordering
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from semantic_pdf_search_engine_spark.config import SCORE_DECIMALS
 from semantic_pdf_search_engine_spark.fixtures import make_queries, make_transcripts
@@ -98,3 +99,32 @@ def test_search_returns_text(spark, index):
 def test_empty_and_absent(spark, index):
     assert score_topk(index, "").count() == 0
     assert score_topk(index, "zzzznotaword").count() == 0
+
+
+def test_scoped_search_matches_oracle(spark, index, oracle):
+    """Conv-scoped search (reference filename filter inside the index,
+    qdrant.rs:84-90): global stats, candidates restricted to one conv's
+    contiguous docID range."""
+    convs = [r["conv_id"] for r in index.docs.select("conv_id").distinct().limit(3).collect()]
+    ranges = {
+        r["conv_id"]: (r["lo"], r["hi"])
+        for r in index.docs.groupBy("conv_id")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    }
+    for conv in convs:
+        q = make_queries(10)[2]  # hot term → matches in most convs
+        got = _topk(score_topk(index, q, K, round_scores=False, conv_id=conv))
+        lo, hi = ranges[conv]
+        scores = oracle.score_all(q)
+        want = sorted(
+            ((d, s) for d, s in scores.items() if lo <= d <= hi),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:K]
+        assert [d for d, _ in got] == [d for d, _ in want], conv
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+
+
+def test_scoped_search_missing_conv(spark, index):
+    assert score_topk(index, make_queries(3)[2], K, conv_id="convNOPE").count() == 0

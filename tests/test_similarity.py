@@ -84,3 +84,35 @@ def test_neardup_symmetric_bounded(emb):
     for r in rows:
         assert r["a"] < r["b"] < 300
         assert r["sim"] >= 0.3
+
+
+def test_ivf_finds_planted_neighbor(emb, qvec, spark):
+    import numpy as np
+
+    from semantic_pdf_search_engine_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(5)
+    near = (np.array(qvec) + 0.02 * rng.standard_normal(len(qvec))).astype("float32")
+    planted = emb.unionByName(
+        spark.createDataFrame([(9999, [float(x) for x in near], 0)], emb.schema)
+    ).filter(F.col("vec_id") != 0)
+    got = [r["vec_id"] for r in ivf_cosine_topk(planted, qvec, 10).collect()]
+    assert got and got[0] == 9999
+
+
+def test_ivf_recall_and_pruning(emb, qvec, spark):
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb)
+    got = {r["vec_id"] for r in ivf_cosine_topk(emb, qvec, 10, centroids=cents).collect()}
+    brute = {r["vec_id"] for r in brute_cosine_topk(emb, qvec, 10).collect()}
+    assert len(got & brute) / 10 >= 0.3
+    # it must actually prune: candidate buckets < corpus
+    counts = (
+        ivf_assign(emb, cents).groupBy("_ivf_bucket").count().collect()
+    )
+    assert len(counts) > 4  # vectors spread over multiple buckets
