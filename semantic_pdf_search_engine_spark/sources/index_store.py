@@ -84,13 +84,29 @@ class Manifest:
         return all(Path(f).exists() for f in st.get("files", []))
 
     def record(self, stage: str, out_dir: Path | None, rows: int, t0: float, extra=None):
-        files = sorted(str(p) for p in out_dir.rglob("*.parquet")) if out_dir else []
+        # per-partition lineage: one row per output file with its exact
+        # row count (parquet footer read — no data scan) and size;
+        # this is what resume validates and what an auditor replays
+        files: list[dict] = []
+        if out_dir:
+            import pyarrow.parquet as pq
+
+            for p in sorted(out_dir.rglob("*.parquet")):
+                files.append(
+                    {
+                        "path": str(p),
+                        "bytes": p.stat().st_size,
+                        "rows": pq.ParquetFile(p).metadata.num_rows,
+                    }
+                )
         dt = time.time() - t0
         self.data["stages"][stage] = {
             "status": "complete",
             "rows": rows,
-            "files": files,
+            "files": [f["path"] for f in files],
+            "file_lineage": files,
             "n_files": len(files),
+            "total_bytes": sum(f["bytes"] for f in files),
             "duration_sec": round(dt, 3),
             **(extra or {}),
         }
@@ -273,13 +289,23 @@ def build_index(
         # (P × NUM_TERM_BUCKETS small files); blocks are compact, so
         # this extra shuffle moves little data
         obs = Observation("postings")
-        blocks.observe(obs, F.count(F.lit(1)).alias("rows")).repartition(
-            NUM_TERM_BUCKETS, "term_bucket"
-        ).write.mode("overwrite").partitionBy("term_bucket").parquet(
-            str(d / "postings")
-        )
+        blocks.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_postings").alias("n_postings"),
+        ).repartition(NUM_TERM_BUCKETS, "term_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(str(d / "postings"))
         dt = m.record("postings", d / "postings", int(obs.get["rows"]), t0)
         metrics["postings_turns_per_sec"] = round(n_turns / dt, 1)
+        n_postings = int(obs.get["n_postings"] or 0)
+        stored = m.data["stages"]["postings"]["total_bytes"]
+        metrics["n_postings"] = n_postings
+        # raw = 16 B/posting (doc_id int64 + tf int32 + dl int32)
+        metrics["postings_bytes"] = stored
+        metrics["compression_ratio_vs_raw16B"] = (
+            round(16.0 * n_postings / stored, 2) if stored else None
+        )
 
     m.save()
     return InvertedIndex(spark, index_dir, n_docs, avgdl, stripe_docs)
