@@ -12,6 +12,7 @@ n_chars) plays the transcript-shaped corpus (FIXTURES.md §4);
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -206,32 +207,74 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_cosine_topk(emb, list(qv), k=10, exclude_ids=(0,))
 
 
+def _ann_index(spark: SparkSession, sf_dir: str):
+    """Build-once/probe-many: the materialized ANN store for sf_dir,
+    cached under $SPSE_ANN_CACHE (default tmpdir) keyed by the data
+    path and validated by row count — queries against it are parquet
+    PARTITION PRUNING on the bucket column, not full-corpus rescans."""
+    import hashlib
+    import tempfile
+
+    from semantic_pdf_search_engine_spark.sources import ann_store
+
+    emb = _emb(spark, sf_dir)
+    root = os.environ.get(
+        "SPSE_ANN_CACHE", os.path.join(tempfile.gettempdir(), "spse_ann_cache")
+    )
+    d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    try:
+        idx = ann_store.load_ann_index(spark, d)
+        if idx.n_rows == emb.count():
+            return idx
+    except (FileNotFoundError, ValueError, KeyError):
+        pass
+    return ann_store.build_ann_index(spark, emb, d)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — rows-only check (no exact SQL oracle by design);
-    recall vs the brute path is asserted in tests/test_similarity.py."""
-    from semantic_pdf_search_engine_spark.operators.similarity import lsh_cosine_topk
+    """Approximate ANN over the MATERIALIZED LSH store (probe set →
+    PartitionFilters on `_bucket`) — rows-only check (no exact SQL
+    oracle by design); recall vs the brute path and equality with the
+    on-the-fly path are asserted in tests/test_similarity.py."""
+    from semantic_pdf_search_engine_spark.sources.ann_store import lsh_topk
 
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_cosine_topk(emb, list(qv), k=10)
+    return lsh_topk(_ann_index(spark, sf_dir), list(qv), k=10)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN — rows-only check (approximate by design);
-    recall vs brute asserted in tests/test_similarity.py."""
-    from semantic_pdf_search_engine_spark.operators.similarity import ivf_cosine_topk
+    """IVF ANN over the MATERIALIZED store (n_probe nearest centroids →
+    PartitionFilters on `_ivf_bucket`) — rows-only check (approximate
+    by design); recall vs brute asserted in tests/test_similarity.py."""
+    from semantic_pdf_search_engine_spark.sources.ann_store import ivf_topk
 
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_cosine_topk(emb, list(qv), k=10)
+    return ivf_topk(_ann_index(spark, sf_dir), list(qv), k=10)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bounded spine (DuckDB twin); the unbounded scale path is
+    q_embedding_neardup_lsh below."""
     from semantic_pdf_search_engine_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
 
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3, max_id=300)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup pairs over the FULL embeddings table — no
+    id bound, no cartesian join (candidates come from the band-bucket
+    equality join). Approximate by construction → rows-only check;
+    recall ≥ 0.95 vs the exact spine at threshold 0.3 is asserted in
+    tests/test_similarity.py."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+
+    return embedding_neardup_lsh_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "phrase_match": q_phrase_match,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,

@@ -1,0 +1,246 @@
+"""Materialized ANN index: embeddings persisted partitioned by bucket.
+
+The on-the-fly paths in operators/similarity.py recompute bucket
+assignment per query — correct, but a full-corpus Arrow pass every
+time. This store makes the bucket id a PARTITION COLUMN, so a query
+becomes parquet partition pruning: the scan touches only the probed
+bucket directories and never deserializes the rest of the corpus.
+
+Layout (parquet; same manifest pattern as the inverted index —
+reference analog: Qdrant persists its vector index across queries,
+/root/reference/src/qdrant.rs:24-34, rather than re-indexing per
+search):
+
+    ann_dir/
+      ann_manifest.json   dim, seed, n_rows, hyperplanes, centroids
+      lsh/_bucket=NN/     (vec_id, embedding[, extra cols])
+      ivf/_ivf_bucket=NN/ (vec_id, embedding[, extra cols])
+
+Both variants share ONE assignment pass over the corpus (the two
+writes read the same persisted assigned frame). Queries compute their
+probe set driver-side (tiny numpy) and push it as a partition filter —
+`.explain()` shows PartitionFilters on the bucket column (EXPLAIN.md).
+
+Incremental growth mirrors the inverted index's segment story: new
+vectors are assigned with the STORED planes/centroids and appended into
+their bucket directories; LSH bucket ids never drift, IVF centroids are
+frozen at build time (standard IVF practice — retrain + rebuild is a
+separate offline job).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.operators.similarity import (
+    cosine_expr,
+    hyperplanes,
+    ivf_assign,
+    lsh_assign,
+    train_ivf_centroids,
+)
+
+MANIFEST_NAME = "ann_manifest.json"
+
+
+@dataclass
+class AnnIndex:
+    """Handle to a built ANN store (planes/centroids loaded driver-side)."""
+
+    spark: SparkSession
+    index_dir: str
+    dim: int
+    n_rows: int
+    planes: np.ndarray
+    centroids: np.ndarray
+
+    @property
+    def lsh(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/lsh")
+
+    @property
+    def ivf(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/ivf")
+
+
+def build_ann_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnIndex:
+    """Assign once, write twice: one Arrow pass adds both bucket
+    columns; the LSH and IVF tables are written partitioned by their
+    respective bucket (repartition on the partition column first so a
+    bucket directory gets one writer, not P slivers)."""
+    d = Path(index_dir)
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot build an ANN index over an empty table")
+    dim = len(first[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    centroids = train_ivf_centroids(
+        emb, n_centroids, seed=seed + 4, id_col=id_col, vec_col=vec_col
+    )
+
+    assigned = lsh_assign(ivf_assign(emb, centroids, vec_col), planes, vec_col)
+    assigned.persist()
+    try:
+        n_rows = assigned.count()
+        (
+            assigned.drop("_ivf_bucket")
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(str(d / "lsh"))
+        )
+        (
+            assigned.drop("_bucket")
+            .repartition("_ivf_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_ivf_bucket")
+            .parquet(str(d / "ivf"))
+        )
+    finally:
+        assigned.unpersist()
+
+    manifest = {
+        "dim": dim,
+        "n_planes": n_planes,
+        "n_centroids": len(centroids),
+        "seed": seed,
+        "n_rows": n_rows,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "planes": planes.tolist(),
+        "centroids": centroids.tolist(),
+    }
+    tmp = d / (MANIFEST_NAME + ".tmp")
+    tmp.write_text(json.dumps(manifest))
+    os.replace(tmp, d / MANIFEST_NAME)
+    return AnnIndex(spark, index_dir, dim, n_rows, planes, centroids)
+
+
+def load_ann_index(spark: SparkSession, index_dir: str) -> AnnIndex:
+    m = json.loads((Path(index_dir) / MANIFEST_NAME).read_text())
+    return AnnIndex(
+        spark,
+        index_dir,
+        m["dim"],
+        m["n_rows"],
+        np.asarray(m["planes"], dtype=np.float64),
+        np.asarray(m["centroids"], dtype=np.float64),
+    )
+
+
+def lsh_probe_buckets(
+    planes: np.ndarray, query_vec: list[float], multiprobe_bits: int = 1
+) -> list[int]:
+    """Driver-side probe set: query bucket + Hamming-ball neighbors."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    n_planes = planes.shape[0]
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    probe = {qbucket}
+    if multiprobe_bits >= 1:
+        probe |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if multiprobe_bits >= 2:
+        probe |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    return sorted(probe)
+
+
+def _cosine_topk(cand: DataFrame, query_vec, k, id_col, vec_col) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    index: AnnIndex,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against the materialized LSH table: the probe set is a
+    PartitionFilter on `_bucket` — only probed directories are read."""
+    probes = lsh_probe_buckets(index.planes, query_vec, multiprobe_bits)
+    cand = index.lsh.filter(F.col("_bucket").isin(probes))
+    return _cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_topk(
+    index: AnnIndex,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against the materialized IVF table: n_probe nearest
+    centroids (driver-side argsort) become a PartitionFilter on
+    `_ivf_bucket`."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(p) for p in np.argsort(-(index.centroids @ qn))[:n_probe]]
+    cand = index.ivf.filter(F.col("_ivf_bucket").isin(probes))
+    return _cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def append_to_ann_index(
+    index: AnnIndex,
+    new_emb: DataFrame,
+    vec_col: str = "embedding",
+) -> AnnIndex:
+    """Append new vectors under the STORED planes/centroids — bucket
+    semantics never drift, so old partitions stay valid untouched."""
+    d = Path(index.index_dir)
+    assigned = lsh_assign(
+        ivf_assign(new_emb, index.centroids, vec_col), index.planes, vec_col
+    )
+    assigned.persist()
+    try:
+        n_new = assigned.count()
+        (
+            assigned.drop("_ivf_bucket")
+            .repartition("_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(str(d / "lsh"))
+        )
+        (
+            assigned.drop("_bucket")
+            .repartition("_ivf_bucket")
+            .write.mode("append")
+            .partitionBy("_ivf_bucket")
+            .parquet(str(d / "ivf"))
+        )
+    finally:
+        assigned.unpersist()
+    m = json.loads((d / MANIFEST_NAME).read_text())
+    m["n_rows"] += n_new
+    tmp = d / (MANIFEST_NAME + ".tmp")
+    tmp.write_text(json.dumps(m))
+    os.replace(tmp, d / MANIFEST_NAME)
+    index.n_rows = m["n_rows"]
+    return index

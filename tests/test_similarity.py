@@ -116,3 +116,127 @@ def test_ivf_recall_and_pruning(emb, qvec, spark):
         ivf_assign(emb, cents).groupBy("_ivf_bucket").count().collect()
     )
     assert len(counts) > 4  # vectors spread over multiple buckets
+
+
+def test_neardup_lsh_recall_vs_brute(emb):
+    """Banded-LSH pair generation must recover ≥95% of the exact pairs
+    at threshold 0.3 with the default (b=16, r=2) banding — and never
+    invent pairs (every emitted pair is exact-cosine verified)."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+
+    exact = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.3, max_id=None).collect()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_lsh_pairs(emb, threshold=0.3).collect()
+    }
+    assert got <= exact  # no false positives: cosine is exact on candidates
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.95, f"recall {recall} over {len(exact)} pairs"
+
+
+def test_neardup_lsh_planted_dup_and_pruning(emb, spark):
+    """At production near-dup thresholds (0.9+) sharp banding (r=8, b=4)
+    must find a planted 0.99-cosine duplicate while generating far fewer
+    candidates than all-pairs."""
+    import numpy as np
+
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        band_assign,
+        band_planes,
+        embedding_neardup_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    base = np.array(
+        emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"], dtype=np.float64
+    )
+    near = (base + 0.02 * rng.standard_normal(base.size)).astype("float32")
+    planted = emb.unionByName(
+        spark.createDataFrame([(9999, [float(x) for x in near], 0)], emb.schema)
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_lsh_pairs(
+            planted, threshold=0.9, n_bands=4, band_bits=8
+        ).collect()
+    }
+    assert (5, 9999) in pairs
+    # pruning: candidate volume (Σ per-bucket C(n,2)) << all-pairs
+    n = planted.count()
+    keyed = band_assign(planted, band_planes(base.size, 4, 8)).select(
+        F.explode("_band_keys").alias("bk")
+    )
+    cand_vol = (
+        keyed.groupBy("bk")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .collect()[0][0]
+    )
+    assert cand_vol < 0.25 * n * (n - 1) / 2, f"candidates {cand_vol} vs n²/2"
+
+
+def test_lsh_assign_matches_bucket_expr(emb):
+    """The Arrow matmul assignment and the pure-Column spec agree."""
+    from semantic_pdf_search_engine_spark.operators.similarity import lsh_assign
+
+    planes = hyperplanes(64, 8)
+    a = lsh_assign(emb, planes).select("vec_id", "_bucket")
+    b = emb.select(
+        "vec_id", bucket_expr(F.col("embedding"), planes).alias("_bucket")
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_materialized_ann_store(emb, qvec, spark, tmp_path):
+    """Materialized store: queries equal the on-the-fly paths, the scan
+    is partition-pruned, and appends land in the right buckets."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+    from semantic_pdf_search_engine_spark.sources.ann_store import (
+        append_to_ann_index,
+        build_ann_index,
+        ivf_topk,
+        load_ann_index,
+        lsh_topk,
+    )
+
+    idx = build_ann_index(spark, emb, str(tmp_path / "ann"))
+    idx = load_ann_index(spark, str(tmp_path / "ann"))  # round-trips
+    assert idx.n_rows == emb.count()
+
+    got_lsh = [(r["vec_id"], r["sim"]) for r in lsh_topk(idx, qvec, 10).collect()]
+    want_lsh = [
+        (r["vec_id"], r["sim"]) for r in lsh_cosine_topk(emb, qvec, 10).collect()
+    ]
+    assert got_lsh == want_lsh
+
+    cents = train_ivf_centroids(emb, seed=11)
+    got_ivf = [(r["vec_id"], r["sim"]) for r in ivf_topk(idx, qvec, 10).collect()]
+    want_ivf = [
+        (r["vec_id"], r["sim"])
+        for r in ivf_cosine_topk(emb, qvec, 10, centroids=cents).collect()
+    ]
+    assert got_ivf == want_ivf
+
+    # partition pruning is visible in the physical plan
+    plan = lsh_topk(idx, qvec, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+
+    # append under stored planes/centroids: new vector queryable
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    near = (np.array(qvec) + 0.01 * rng.standard_normal(len(qvec))).astype("float32")
+    new = spark.createDataFrame([(7777, [float(x) for x in near], 0)], emb.schema)
+    idx = append_to_ann_index(idx, new)
+    assert idx.n_rows == emb.count() + 1
+    top = lsh_topk(idx, qvec, 10, multiprobe_bits=1).collect()
+    assert top[0]["vec_id"] in (0, 7777)  # the planted near-dup surfaces
