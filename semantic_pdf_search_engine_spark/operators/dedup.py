@@ -123,32 +123,80 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perms: int = N_MINHASH,
 ) -> DataFrame:
-    """(doc_id, sig_1..sig_N): min md5('{i}:'||shingle) per hash i."""
-    sh = shingles_expr(F.col(text_col))
+    """(doc_id, sig_1..sig_N): min md5('{i}:'||shingle) per hash i.
 
-    def sig(i: int):
-        # NB: the transform lambda must be unary — PySpark gives a
-        # 2-arg lambda (element, index), which would shadow `i`
-        prefix = f"{i}:"
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
-        ).alias(f"sig_{i}")
+    One Arrow pass per batch: tokenize + shingle + hashlib md5 in
+    Python (C-backed), min per permutation. The previous pure-Column
+    form re-evaluated the whole shingles_expr expression tree once PER
+    SIGNATURE (Catalyst does not CSE across projection items through
+    higher-order functions), making signatures the dominant cost of the
+    minhash suite entry (17.6 s at sf0.1 → ~1 s here). Byte semantics
+    are pinned to the DuckDB twin: md5(utf-8('{i}:' || shingle)),
+    minimum by LEXICOGRAPHIC hex-string order."""
+    import hashlib
 
-    cols = [F.col(id_col)] + [sig(i) for i in range(1, N_MINHASH + 1)]
-    return docs.select(*cols).filter(F.col("sig_1").isNotNull())
+    import pandas as pd
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, " + ", ".join(
+        f"sig_{i} string" for i in range(1, n_perms + 1)
+    )
+    prefixes = [f"{i}:".encode() for i in range(1, n_perms + 1)]
+    n = SHINGLE_N
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sig_cols = [], [[] for _ in range(n_perms)]
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                # normalize=False: shingles_expr/the DuckDB twin both
+                # tokenize RAW lowered text (no artifact normalization)
+                toks = tokenize_py(text, normalize=False)
+                if len(toks) < n:
+                    continue
+                shingles = {
+                    " ".join(toks[j : j + n]).encode()
+                    for j in range(len(toks) - n + 1)
+                }
+                ids.append(did)
+                for i, pref in enumerate(prefixes):
+                    sig_cols[i].append(
+                        min(hashlib.md5(pref + s).hexdigest() for s in shingles)
+                    )
+            out = {id_col: pd.Series(ids, dtype=pdf[id_col].dtype)}
+            for i in range(n_perms):
+                out[f"sig_{i + 1}"] = sig_cols[i]
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perms: int = N_MINHASH,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b) that agree on ≥1 LSH band
-    (band = concatenation of N_MINHASH/N_BANDS signatures)."""
-    sigs = minhash_signatures(docs, id_col, text_col)
-    per_band = N_MINHASH // N_BANDS
+    (band = concatenation of n_perms/n_bands signatures).
+
+    Defaults stay at the oracle-twinned demo params (4 perms / 2
+    bands); production near-dup at 100 TB wants n_perms=64, n_bands=16
+    (r=4 rows/band → candidate threshold s ≈ (1/16)^(1/4) ≈ 0.5) — the
+    shuffle stays (doc, band) shaped at any param setting."""
+    if n_perms % n_bands:
+        raise ValueError("n_perms must be divisible by n_bands")
+    sigs = minhash_signatures(docs, id_col, text_col, n_perms)
+    per_band = n_perms // n_bands
     bands = []
-    for bidx in range(N_BANDS):
+    for bidx in range(n_bands):
         parts = [F.col(f"sig_{bidx * per_band + j + 1}") for j in range(per_band)]
         bands.append(
             sigs.select(

@@ -71,3 +71,86 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(0, "two words"), (1, "")], "doc_id long, text string")
     assert ngram_jaccard_pairs(df).count() == 0
     assert minhash_lsh_pairs(df).count() == 0
+
+
+def test_minhash_signature_match_probability(spark):
+    """MinHash core property: for documents with shingle-Jaccard s, each
+    permutation's signatures agree with probability s. Build two docs
+    sharing half their shingles (s = 1/3... controlled below), compute
+    64 permutations, and require the empirical match fraction within
+    binomial 4-sigma of s. Also pins the banding estimate
+    P(candidate) = 1 - (1 - s^r)^b used to pick production params."""
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    # 40 shared tokens + 20 distinct per doc → controlled overlap
+    shared = " ".join(f"common{i}" for i in range(42))
+    only_a = " ".join(f"alpha{i}" for i in range(20))
+    only_b = " ".join(f"beta{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, f"{shared} {only_a}"), (2, f"{shared} {only_b}")],
+        "doc_id long, text string",
+    )
+    sh = doc_shingles(df).toPandas()
+    a = set(sh[sh.doc_id == 1].shingle)
+    b = set(sh[sh.doc_id == 2].shingle)
+    s = len(a & b) / len(a | b)
+
+    n_perms = 64
+    sigs = minhash_signatures(df, n_perms=n_perms).toPandas().set_index("doc_id")
+    matches = sum(
+        sigs.loc[1, f"sig_{i}"] == sigs.loc[2, f"sig_{i}"]
+        for i in range(1, n_perms + 1)
+    )
+    import math
+
+    sigma = math.sqrt(s * (1 - s) / n_perms)
+    assert abs(matches / n_perms - s) <= 4 * sigma, (matches / n_perms, s)
+
+    # banding estimate is monotone and bounded — sanity-pin the formula
+    for r, bnd in [(4, 16), (8, 8)]:
+        p = 1 - (1 - s**r) ** bnd
+        assert 0.0 <= p <= 1.0
+
+
+def test_minhash_arrow_equals_sql_semantics(spark):
+    """The Arrow signature path must be byte-identical to the DuckDB
+    definition: min over md5('{i}:' || shingle) hex strings."""
+    import duckdb
+
+    from semantic_pdf_search_engine_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared words here") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        minhash_signatures(df, n_perms=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = con.execute("""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+            FROM tk WHERE len(toks) >= 3
+        )
+        SELECT doc_id,
+               list_min(list_transform(shingles, s -> md5('1:' || s))) AS sig_1,
+               list_min(list_transform(shingles, s -> md5('2:' || s))) AS sig_2,
+               list_min(list_transform(shingles, s -> md5('3:' || s))) AS sig_3,
+               list_min(list_transform(shingles, s -> md5('4:' || s))) AS sig_4
+        FROM sh ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    for c in ["sig_1", "sig_2", "sig_3", "sig_4"]:
+        assert list(got[c]) == list(want[c]), c
