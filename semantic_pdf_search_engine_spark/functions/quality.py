@@ -88,6 +88,52 @@ def is_header_like(text: Column) -> Column:
     )
 
 
+def has_complete_sentence(text: Column) -> Column:
+    """F5 (/root/reference/src/chunk.rs:214-223): at least one sentence
+    ender (". ", "? ", "! " or trailing ./?/!) AND an uppercase first
+    char. Pinned to ASCII [A-Z] (the reference's char::is_uppercase is
+    unicode; the corpus is ASCII) for an exact SQL twin."""
+    enders = (
+        F.contains(text, F.lit(". "))
+        | text.endswith(".")
+        | F.contains(text, F.lit("? "))
+        | text.endswith("?")
+        | F.contains(text, F.lit("! "))
+        | text.endswith("!")
+    )
+    return enders & F.substring(text, 1, 1).rlike("[A-Z]")
+
+
+# P5 line-level header-removal regexes (/root/reference/src/chunk.rs:304-342);
+# applied to the TRIMMED line, so the reference's leading ^[\s]* is moot.
+SECTION_NUMBER_RE = r"^(\d+\.)+\d*\s*[A-Z]"  # "3.1 Introduction", "3.1.2 Details"
+CHAPTER_RE = r"^(Chapter|Section|Part|Appendix)\s+(\d+|[A-Z])"
+SIMPLE_HEADER_RE = r"^\d+\.\s*[A-Z][a-z]+"  # "3. Introduction"
+
+
+def is_section_header_line(line: Column) -> Column:
+    """One line is a section header: any of the three reference regexes
+    or the is_header_like heuristic (chunk.rs:327-333)."""
+    t = F.trim(line)
+    return (
+        t.rlike(SECTION_NUMBER_RE)
+        | t.rlike(CHAPTER_RE)
+        | t.rlike(SIMPLE_HEADER_RE)
+        | is_header_like(line)
+    )
+
+
+def remove_section_headers(text: Column) -> Column:
+    """P5 (/root/reference/src/chunk.rs:304-342): drop empty and
+    header lines, keep the rest VERBATIM (original, untrimmed), joined
+    by newline. Pure Column expr — array functions under codegen."""
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines, lambda l: (F.length(F.trim(l)) > 0) & ~is_section_header_line(l)
+    )
+    return F.array_join(kept, "\n")
+
+
 def is_valid_chunk(text: Column) -> Column:
     t = F.trim(text)
     return (

@@ -138,7 +138,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_valid_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1-P4 predicate flags (reference chunk.rs:64-126,345-380,512-518)."""
+    """P1-P5/F5 predicate flags (reference chunk.rs:64-126,214-223,
+    345-380,512-518)."""
     from semantic_pdf_search_engine_spark.functions import quality as Q
 
     t = F.col("text")
@@ -148,6 +149,36 @@ def q_valid_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.looks_like_code(t).alias("is_code"),
         Q.is_garbage(t).alias("is_garbage"),
         Q.is_header_like(t).alias("is_header"),
+        Q.has_complete_sentence(t).alias("has_sentence"),
+    )
+
+
+def q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: fixed 500-char sub-turn chunking, exploded
+    (reference TextSplitter::new(500), chunk.rs:34-60)."""
+    from semantic_pdf_search_engine_spark.operators.chunking import chunk_turns_fixed
+
+    return chunk_turns_fixed(_docs(spark, sf_dir))
+
+
+def q_smart_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: sentence-packed chunks with 2-sentence overlap carry
+    (chunk.rs:521-560 + garbage filter per chunk_per_page). Stateful
+    fold → no SQL twin; rows-only check, semantics unit-tested in
+    tests/test_chunking.py against the reference's pinned behaviors."""
+    from semantic_pdf_search_engine_spark.operators.chunking import smart_chunks
+
+    return smart_chunks(_docs(spark, sf_dir))
+
+
+def q_remove_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: line-level section-header removal (chunk.rs:304-342)."""
+    from semantic_pdf_search_engine_spark.functions.quality import (
+        remove_section_headers,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", remove_section_headers(F.col("text")).alias("cleaned")
     )
 
 
@@ -425,6 +456,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_scoped": q_bm25_scoped,
     "valid_chunks": q_valid_chunks,
+    "chunk_turns": q_chunk_turns,
+    "smart_chunks": q_smart_chunks,
+    "remove_headers": q_remove_headers,
     "lang_quality": q_lang_quality,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -513,6 +547,37 @@ _COS = (
     "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
 )
 
+def _is_header_sql(t: str) -> str:
+    """DuckDB twin of quality.is_header_like over expression `t`."""
+    return f"""(length(trim({t})) <= 100 AND (
+            (regexp_matches(trim({t}), '^[0-9]') AND {_WC.format(t=t)} <= 6)
+         OR (upper(trim({t})) = trim({t}) AND regexp_matches(trim({t}), '[A-Z]')
+             AND {_WC.format(t=t)} <= 5)
+         OR (regexp_matches(trim({t}), '^[0-9][^\\n]*:') AND {_WC.format(t=t)} <= 8)
+       ))"""
+
+
+# P5 twin: same three reference regexes + the is_header_like heuristic,
+# applied per line; empty lines dropped; survivors joined verbatim.
+_REMOVE_HEADERS_SQL = f"""
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(text, chr(10)), l ->
+           length(trim(l)) > 0 AND NOT (
+               regexp_matches(trim(l), '^(\\d+\\.)+\\d*\\s*[A-Z]')
+            OR regexp_matches(trim(l), '^(Chapter|Section|Part|Appendix)\\s+(\\d+|[A-Z])')
+            OR regexp_matches(trim(l), '^\\d+\\.\\s*[A-Z][a-z]+')
+            OR {_is_header_sql("l")}
+           )), chr(10)) AS cleaned
+FROM documents
+"""
+
+_HAS_SENTENCE_SQL = (
+    "((contains(text, '. ') OR text LIKE '%.' "
+    "OR contains(text, '? ') OR text LIKE '%?' "
+    "OR contains(text, '! ') OR text LIKE '%!') "
+    "AND regexp_matches(substr(text, 1, 1), '[A-Z]'))"
+)
+
 ORACLE_SQL.update(
     {
         "valid_chunks": f"""
@@ -527,14 +592,11 @@ SELECT doc_id,
        ((length(text) - length(replace(text, '.', ''))) > 10
         AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) < 5
         AND length(regexp_replace(text, '[^0-9]', '', 'g')) > 0) AS is_garbage,
-       (length(trim(text)) <= 100 AND (
-            (regexp_matches(trim(text), '^[0-9]') AND {_WC.format(t="text")} <= 6)
-         OR (upper(trim(text)) = trim(text) AND regexp_matches(trim(text), '[A-Z]')
-             AND {_WC.format(t="text")} <= 5)
-         OR (regexp_matches(trim(text), '^[0-9][^\\n]*:') AND {_WC.format(t="text")} <= 8)
-       )) AS is_header
+       {_is_header_sql("text")} AS is_header,
+       {_HAS_SENTENCE_SQL} AS has_sentence
 FROM documents
 """,
+        "remove_headers": _REMOVE_HEADERS_SQL,
         "lang_quality": f"""
 WITH t AS (
     SELECT doc_id, text,
@@ -687,6 +749,12 @@ SELECT doc_id,
        CAST(1 + {_byte("h", 2)} % 30 AS INT) AS n_frames
 FROM p
 """
+
+from semantic_pdf_search_engine_spark.operators.chunking import (  # noqa: E402
+    chunk_turns_fixed_sql,
+)
+
+ORACLE_SQL["chunk_turns"] = chunk_turns_fixed_sql()
 
 ORACLE_SQL["token_stats"] = f"""
 SELECT doc_id,

@@ -1,0 +1,147 @@
+"""C1/C3 chunking + P5 header removal + F5 sentence predicate.
+
+Behavioral vectors pinned to /root/reference/src/chunk.rs (fixed
+splitter :34-60, smart_chunk_text :521-560 and its test :562-605,
+remove_section_headers :304-342, has_complete_sentence :214-223).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.functions.quality import (
+    has_complete_sentence,
+    remove_section_headers,
+)
+from semantic_pdf_search_engine_spark.operators.chunking import (
+    chunk_turns_fixed,
+    is_header_like_py,
+    smart_chunk_py,
+    smart_chunks,
+    split_sentences_py,
+)
+
+
+def test_fixed_chunks_roundtrip(spark):
+    texts = ["a" * 1234, "b" * 500, "c" * 499, "d", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_turns_fixed(df, size=500).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    # 1234 chars → 500+500+234; exact reassembly; idx dense from 0
+    assert [len(c) for _, c in sorted(by_doc[0])] == [500, 500, 234]
+    assert "".join(c for _, c in sorted(by_doc[0])) == texts[0]
+    assert [i for i, _ in sorted(by_doc[0])] == [0, 1, 2]
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    assert 4 not in by_doc and 5 not in by_doc  # empty/null → no rows
+
+
+def test_smart_chunk_packs_and_overlaps():
+    sents = [f"Sentence number {i} has a few words in it." for i in range(40)]
+    text = " ".join(sents)
+    chunks = smart_chunk_py(text, chunk_size=200)
+    assert len(chunks) > 1
+    # every chunk after the first starts with the 2-sentence overlap
+    # carried from its predecessor's tail
+    for prev, nxt in zip(chunks, chunks[1:]):
+        prev_sents = split_sentences_py(prev)
+        carry = " ".join(prev_sents[-2:])
+        assert nxt.startswith(carry), (carry, nxt[:120])
+    # no content lost: every sentence appears in some chunk
+    joined = " ".join(chunks)
+    assert all(s in joined for s in sents)
+
+
+def test_smart_chunk_skips_headers():
+    text = (
+        "1. INTRODUCTION. "
+        "This is the real body of the document with several words. "
+        "CHAPTER TWO. "
+        "More body text follows the shouting header here."
+    )
+    chunks = smart_chunk_py(text, chunk_size=2000)
+    joined = " ".join(chunks)
+    assert "INTRODUCTION" not in joined
+    assert "CHAPTER TWO" not in joined
+    assert "real body" in joined and "More body" in joined
+
+
+def test_smart_chunk_reference_sanity(spark):
+    """Port of chunks_textbook_like_pages (chunk.rs:562-605): repeated
+    textbook-like pages chunk into non-empty chunks, header lines gone."""
+    page1 = (
+        "Chapter 1: Introduction\n\n"
+        "Machine learning is a field of computer science that gives "
+        "computers the ability to learn without being explicitly "
+        "programmed. This chapter introduces basic terminology and "
+        "concepts used throughout the book." * 20
+    )
+    df = spark.createDataFrame([(1, page1)], "doc_id long, text string")
+    rows = smart_chunks(df).collect()
+    assert rows
+    assert all(r["chunk"] for r in rows)
+    idxs = sorted(r["chunk_idx"] for r in rows)
+    assert idxs == list(range(len(rows)))
+
+
+def test_is_header_like_py_matches_column(spark):
+    from semantic_pdf_search_engine_spark.functions.quality import is_header_like
+
+    vecs = [
+        "3.1 Introduction",
+        "INTRODUCTION",
+        "1. Overview:",
+        "plain sentence with many lowercase words here",
+        "2 Short",
+        "x" * 120,
+        "",
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], "i long, t string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", is_header_like(F.col("t")).alias("h")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == is_header_like_py(v), v
+
+
+@pytest.mark.parametrize(
+    "text,keep",
+    [
+        ("3.1 Introduction", False),
+        ("3.1.2 Details", False),
+        ("Chapter 2 Linear Models", False),
+        ("Section A Overview", False),
+        ("3. Introduction", False),
+        ("the quick brown fox jumps over the lazy dog repeatedly today", True),
+    ],
+)
+def test_remove_section_headers_lines(spark, text, keep):
+    body = "this is an ordinary body line with plenty of lowercase words in it"
+    df = spark.createDataFrame([(0, f"{text}\n{body}\n\n{body}")], "i long, t string")
+    out = df.select(remove_section_headers(F.col("t")).alias("c")).collect()[0]["c"]
+    lines = out.split("\n")
+    assert lines.count(body) == 2  # body kept verbatim, empty line dropped
+    assert (text in lines) == keep
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        ("Hello there.", True),
+        ("Hello there. And more", True),
+        ("hello there.", False),  # no uppercase start
+        ("Hello there", False),  # no ender
+        ("Is it real? maybe", True),
+        ("Wow! ok", True),
+        ("", False),
+    ],
+)
+def test_has_complete_sentence(spark, text, want):
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(has_complete_sentence(F.col("t")).alias("h")).collect()[0]["h"]
+    assert got == want, text
