@@ -122,39 +122,49 @@ class Manifest:
 
 @dataclass
 class InvertedIndex:
-    """Handle to a built index."""
+    """Handle to a built index. Physical postings/docfreq directories
+    are resolved through the manifest (versioned names), so swaps —
+    docfreq merge on append, posting compaction — are ATOMIC: write
+    the new version, flip one manifest pointer (os.replace), delete
+    the old dir; a concurrent reader always sees a complete directory."""
 
     spark: SparkSession
     index_dir: str
     n_docs: int
     avgdl: float
     stripe_docs: int
+    postings_rel: str = "postings"
+    docfreq_rel: str = "docfreq"
 
     _postings_cached: DataFrame | None = None
     _docfreq_cached: DataFrame | None = None
 
     @property
+    def postings_path(self) -> str:
+        return f"{self.index_dir}/{self.postings_rel}"
+
+    @property
+    def docfreq_path(self) -> str:
+        return f"{self.index_dir}/{self.docfreq_rel}"
+
+    @property
     def postings(self) -> DataFrame:
         if self._postings_cached is not None:
             return self._postings_cached
-        return self.spark.read.parquet(f"{self.index_dir}/postings")
+        return self.spark.read.parquet(self.postings_path)
 
     @property
     def docfreq(self) -> DataFrame:
         if self._docfreq_cached is not None:
             return self._docfreq_cached
-        return self.spark.read.parquet(f"{self.index_dir}/docfreq")
+        return self.spark.read.parquet(self.docfreq_path)
 
     def prepare(self) -> "InvertedIndex":
         """Pin the hot read path in executor memory for a query-serving
         session (a real deployment keeps postings resident; per-query
         parquet re-reads are a cold-start artifact). Lazy on first use."""
-        self._postings_cached = self.spark.read.parquet(
-            f"{self.index_dir}/postings"
-        ).persist()
-        self._docfreq_cached = self.spark.read.parquet(
-            f"{self.index_dir}/docfreq"
-        ).persist()
+        self._postings_cached = self.spark.read.parquet(self.postings_path).persist()
+        self._docfreq_cached = self.spark.read.parquet(self.docfreq_path).persist()
         self._postings_cached.count()
         self._docfreq_cached.count()
         return self
@@ -177,7 +187,13 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
     m = Manifest(index_dir)
     p = m.data["params"]
     return InvertedIndex(
-        spark, index_dir, p["n_docs"], p["avgdl"], p.get("stripe_docs", STRIPE_DOCS)
+        spark,
+        index_dir,
+        p["n_docs"],
+        p["avgdl"],
+        p.get("stripe_docs", STRIPE_DOCS),
+        postings_rel=p.get("postings_rel", "postings"),
+        docfreq_rel=p.get("docfreq_rel", "docfreq"),
     )
 
 
@@ -279,6 +295,7 @@ def build_index(
     dfreq = spark.read.parquet(str(d / "docfreq"))
 
     # --- stage 4: compressed posting blocks ---------------------------------
+    postings_rel = m.data["params"].get("postings_rel", "postings")
     if not (resume and m.stage_complete("postings")):
         t0 = time.time()
         blocks = P.build_posting_blocks(
@@ -295,8 +312,8 @@ def build_index(
             F.sum("n_postings").alias("n_postings"),
         ).repartition(NUM_TERM_BUCKETS, "term_bucket").write.mode(
             "overwrite"
-        ).partitionBy("term_bucket").parquet(str(d / "postings"))
-        dt = m.record("postings", d / "postings", int(obs.get["rows"]), t0)
+        ).partitionBy("term_bucket").parquet(str(d / postings_rel))
+        dt = m.record("postings", d / postings_rel, int(obs.get["rows"]), t0)
         metrics["postings_turns_per_sec"] = round(n_turns / dt, 1)
         n_postings = int(obs.get["n_postings"] or 0)
         stored = m.data["stages"]["postings"]["total_bytes"]
@@ -308,7 +325,15 @@ def build_index(
         )
 
     m.save()
-    return InvertedIndex(spark, index_dir, n_docs, avgdl, stripe_docs)
+    return InvertedIndex(
+        spark,
+        index_dir,
+        n_docs,
+        avgdl,
+        stripe_docs,
+        postings_rel=postings_rel,
+        docfreq_rel=m.data["params"].get("docfreq_rel", "docfreq"),
+    )
 
 
 def append_to_index(
@@ -340,6 +365,8 @@ def append_to_index(
     n_old = params["n_docs"]
     total_old = params["total_tokens"]
     stripe_docs = params["stripe_docs"]
+    postings_rel = params.get("postings_rel", "postings")
+    docfreq_rel = params.get("docfreq_rel", "docfreq")
 
     t0 = time.time()
     new_docs = assign_doc_ids(new_transcripts).withColumn(
@@ -362,7 +389,7 @@ def append_to_index(
 
     # merge docfreq: old df + new per-term df, idf under the new N
     df_new = P.docfreq(tf_new)
-    df_old = spark.read.parquet(str(d / "docfreq")).select("term", "df")
+    df_old = spark.read.parquet(str(d / docfreq_rel)).select("term", "df")
     merged = (
         df_old.unionByName(df_new)
         .groupBy("term")
@@ -376,32 +403,173 @@ def append_to_index(
         return np.log(1.0 + (float(n_all) - dfs + 0.5) / (dfs + 0.5))
 
     merged = merged.withColumn("idf", idf_udf(F.col("df").cast("double")))
-    tmp_df = str(d / "docfreq_tmp")
-    merged.write.mode("overwrite").parquet(tmp_df)
-    import shutil
-
-    shutil.rmtree(d / "docfreq")
-    os.replace(tmp_df, d / "docfreq")
+    # atomic swap: write the NEW version dir, flip the manifest pointer
+    # (os.replace inside Manifest.save), only then remove the old dir —
+    # a concurrent reader resolving through the manifest never sees a
+    # half-deleted docfreq (the old rmtree→rename had that window)
+    new_docfreq_rel = _next_version(docfreq_rel, "docfreq")
+    merged.write.mode("overwrite").parquet(str(d / new_docfreq_rel))
 
     # new posting blocks — merged idf only steers the argmax pick
-    dfreq_idf = spark.read.parquet(str(d / "docfreq")).select("term", "idf")
+    dfreq_idf = spark.read.parquet(str(d / new_docfreq_rel)).select("term", "idf")
     blocks = P.build_posting_blocks(
         tf_new, dfreq_idf, avgdl, stripe_docs
     ).withColumn("term_bucket", term_bucket_udf(F.col("term")))
     blocks.repartition(NUM_TERM_BUCKETS, "term_bucket").write.mode(
         "append"
-    ).partitionBy("term_bucket").parquet(str(d / "postings"))
+    ).partitionBy("term_bucket").parquet(str(d / postings_rel))
 
     new_docs.unpersist()
     tf_new.unpersist()
 
-    params.update({"n_docs": n_all, "avgdl": avgdl, "total_tokens": total_all})
+    params.update(
+        {
+            "n_docs": n_all,
+            "avgdl": avgdl,
+            "total_tokens": total_all,
+            "docfreq_rel": new_docfreq_rel,
+            "postings_rel": postings_rel,
+        }
+    )
     seg_id = sum(1 for s in m.data["stages"] if s.startswith("append_"))
     m.record(
         f"append_{seg_id}",
-        d / "postings",
+        d / postings_rel,
         n_new,
         t0,
         {"n_new_turns": n_new, "n_docs_after": n_all},
+    )  # .record() saves the manifest — this is the atomic pointer flip
+    if docfreq_rel != new_docfreq_rel and (d / docfreq_rel).exists():
+        import shutil
+
+        shutil.rmtree(d / docfreq_rel)
+    return InvertedIndex(
+        spark,
+        index_dir,
+        n_all,
+        avgdl,
+        stripe_docs,
+        postings_rel=postings_rel,
+        docfreq_rel=new_docfreq_rel,
     )
-    return InvertedIndex(spark, index_dir, n_all, avgdl, stripe_docs)
+
+
+def _next_version(current_rel: str, base: str) -> str:
+    """docfreq → docfreq_v1 → docfreq_v2 → … (versioned swap dirs)."""
+    if current_rel == base:
+        return f"{base}_v1"
+    return f"{base}_v{int(current_rel.rsplit('_v', 1)[1]) + 1}"
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    """LSM major compaction: merge every (term, stripe)'s block rows —
+    one per append segment that touched the stripe — into a single
+    block, bit-identical to what a one-shot build over the merged
+    corpus would produce.
+
+    Appends only ever ADD block rows (old blocks are never rewritten:
+    doc ranges are disjoint, pruning bounds are recomputed from raw
+    facts), so read amplification grows with segment count at shared
+    boundary stripes; this job folds it back to 1. Mechanics mirror
+    the build encoder: repartition on (term, stripe_id), decode +
+    concatenate postings in doc order, re-encode, re-pick the argmax
+    posting under CURRENT stats (same numpy expression as the build —
+    required for the compact≡one-shot equality that tests pin).
+    The rewritten table lands in a new versioned dir; the manifest
+    pointer flip is the atomic commit (same pattern as docfreq)."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_pdf_search_engine_spark.config import B, K1
+    from semantic_pdf_search_engine_spark.operators import codec
+    from semantic_pdf_search_engine_spark.operators.postings import POSTINGS_SCHEMA
+
+    idx = load_index(spark, index_dir)
+    d = Path(index_dir)
+    m = Manifest(index_dir)
+    params = m.data["params"]
+    stripe_docs = idx.stripe_docs
+    avgdl = idx.avgdl
+    k1, b = K1, B
+
+    posts = idx.postings.join(
+        F.broadcast(idx.docfreq.select("term", "idf")), "term"
+    )
+
+    def merge_partition(batches):
+        def flush(rows: pd.DataFrame):
+            # rows: all block rows of ONE (term, stripe), sorted by min_doc
+            stripe = int(rows["stripe_id"].iloc[0])
+            base = stripe * stripe_docs
+            docs_l, tfs_l, dls_l = [], [], []
+            for r in rows.itertuples(index=False):
+                dd, tt, ll = codec.decode_block(r.gaps, r.tfs, r.dls, base)
+                docs_l.append(dd)
+                tfs_l.append(tt)
+                dls_l.append(ll)
+            docs = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            idf = float(rows["idf"].iloc[0])
+            contrib = (idf * (tfs * (k1 + 1.0))) / (
+                tfs + k1 * (1.0 - b + b * dls / avgdl)
+            )
+            top = int(np.flatnonzero(contrib == contrib.max())[0])
+            g, t, l = codec.encode_block(docs, tfs.astype(np.uint64),
+                                         dls.astype(np.uint64), base)
+            return {
+                "term": rows["term"].iloc[0],
+                "stripe_id": stripe,
+                "n_postings": int(docs.size),
+                "min_doc": int(docs[0]),
+                "max_doc": int(docs[-1]),
+                "gaps": g,
+                "tfs": t,
+                "dls": l,
+                "max_tf": int(tfs.max()),
+                "top_tf": int(tfs[top]),
+                "top_dl": int(dls[top]),
+                "term_bucket": int(rows["term_bucket"].iloc[0]),
+            }
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                carry = None
+                continue
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["stripe_id"].iloc[-1]
+            mask = (pdf["term"] == last_t) & (pdf["stripe_id"] == last_s)
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                out = [
+                    flush(g.sort_values("min_doc"))
+                    for _, g in body.groupby(["term", "stripe_id"], sort=False)
+                ]
+                yield pd.DataFrame(out)
+        if carry is not None and len(carry):
+            yield pd.DataFrame([flush(carry.sort_values("min_doc"))])
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = (
+        posts.repartition(n_parts, "term", "stripe_id")
+        .sortWithinPartitions("term", "stripe_id", "min_doc")
+        .mapInPandas(merge_partition, schema=POSTINGS_SCHEMA + ", term_bucket int")
+    )
+    postings_rel = params.get("postings_rel", "postings")
+    new_rel = _next_version(postings_rel, "postings")
+    t0 = time.time()
+    merged.repartition(NUM_TERM_BUCKETS, "term_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(str(d / new_rel))
+    params["postings_rel"] = new_rel
+    seg_id = sum(1 for s in m.data["stages"] if s.startswith("compact_"))
+    m.record(f"compact_{seg_id}", d / new_rel, 0, t0)  # saves = pointer flip
+    if (d / postings_rel).exists():
+        import shutil
+
+        shutil.rmtree(d / postings_rel)
+    return load_index(spark, index_dir)

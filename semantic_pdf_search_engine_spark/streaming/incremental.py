@@ -67,6 +67,7 @@ def start_incremental_index(
     input_dir: str,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ):
     """Stream transcript files directly into the inverted index: the
     first micro-batch bootstraps a full build, every later batch is an
@@ -79,8 +80,10 @@ def start_incremental_index(
     from pathlib import Path
 
     from semantic_pdf_search_engine_spark.sources.index_store import (
+        Manifest,
         append_to_index,
         build_index,
+        compact_index,
     )
 
     stream = (
@@ -94,6 +97,17 @@ def start_incremental_index(
             build_index(spark, batch_df, index_dir)
         else:
             append_to_index(spark, batch_df, index_dir)
+        # the LSM merge step: every compact_every appended segments,
+        # fold multi-segment block rows back into one block per
+        # (term, stripe) — read amplification stays O(1), not O(#appends)
+        if compact_every:
+            n_appends = sum(
+                1
+                for s in Manifest(index_dir).data["stages"]
+                if s.startswith("append_")
+            )
+            if n_appends and n_appends % compact_every == 0:
+                compact_index(spark, index_dir)
 
     return (
         stream.writeStream.foreachBatch(sink)

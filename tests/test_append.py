@@ -68,3 +68,68 @@ def test_append_docfreq_merged(spark, corpora, tmp_path):
     for t in want:
         assert got[t][0] == want[t][0], t
         assert abs(got[t][1] - want[t][1]) < 1e-12, t
+
+
+def test_compaction_equals_one_shot(spark, tmp_path):
+    """compact(build(A) + append(B) + append(C)) must be BYTE-identical
+    per (term, stripe) to build(A∪B∪C): same postings, same encoded
+    facts — and queries answer identically before and after."""
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.sources.index_store import compact_index
+
+    pdf = make_transcripts(n_convs=30)
+    a = pdf[pdf["conv_id"] < "conv00000015"].reset_index(drop=True)
+    b = pdf[
+        (pdf["conv_id"] >= "conv00000015") & (pdf["conv_id"] < "conv00000022")
+    ].reset_index(drop=True)
+    c = pdf[pdf["conv_id"] >= "conv00000022"].reset_index(drop=True)
+
+    idx_full = build_index(spark, spark.createDataFrame(pdf), str(tmp_path / "f3"),
+                           stripe_docs=64)
+    build_index(spark, spark.createDataFrame(a), str(tmp_path / "i3"), stripe_docs=64)
+    append_to_index(spark, spark.createDataFrame(b), str(tmp_path / "i3"))
+    idx_inc = append_to_index(spark, spark.createDataFrame(c), str(tmp_path / "i3"))
+
+    # before compaction: some (term, stripe) has >1 block row
+    key = ["term", "stripe_id"]
+    pre_max = (
+        idx_inc.postings.groupBy(*key).count().agg(F.max("count")).collect()[0][0]
+    )
+    assert pre_max > 1, "fixture never produced a multi-segment stripe"
+
+    queries = make_queries(24)[::4]
+    pre = {
+        q: [(r["doc_id"], r["score"])
+            for r in score_topk(idx_inc, q, 10, round_scores=False).collect()]
+        for q in queries
+    }
+
+    idx_c = compact_index(spark, str(tmp_path / "i3"))
+
+    # exactly one block per (term, stripe), equal to the one-shot build
+    cols = ["term", "stripe_id", "n_postings", "min_doc", "max_doc",
+            "gaps", "tfs", "dls", "max_tf", "top_tf", "top_dl"]
+    got = {
+        (r["term"], r["stripe_id"]): tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray)) else r[c] for c in cols[2:])
+        for r in idx_c.postings.select(*cols).collect()
+    }
+    want = {
+        (r["term"], r["stripe_id"]): tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray)) else r[c] for c in cols[2:])
+        for r in idx_full.postings.select(*cols).collect()
+    }
+    assert got == want
+
+    # queries unchanged across compaction
+    for q in queries:
+        post = [(r["doc_id"], r["score"])
+                for r in score_topk(idx_c, q, 10, round_scores=False).collect()]
+        assert [d for d, _ in post] == [d for d, _ in pre[q]], q
+        for (gd, gs), (_, ws) in zip(post, pre[q]):
+            assert abs(gs - ws) < 1e-9
+
+    # compaction is idempotent and survives reload
+    idx_c2 = compact_index(spark, str(tmp_path / "i3"))
+    assert idx_c2.postings.groupBy(*key).count().agg(F.max("count")).collect()[0][0] == 1
+    idx_re = load_index(spark, str(tmp_path / "i3"))
+    assert idx_re.postings_rel.startswith("postings_v")
