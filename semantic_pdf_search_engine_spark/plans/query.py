@@ -67,11 +67,18 @@ def score_topk(
 
     `conv_id` scopes the search to one conversation — the reference's
     filename filter evaluated INSIDE the index (/root/reference/src/
-    qdrant.rs:84-90), not as a post-filter: docIDs are dense in
+    qdrant.rs:84-90), not as a post-filter: when appends arrive
+    log-structured (new conv_ids sort after old) docIDs are dense in
     (conv_id, turn_idx) order, so a conversation is one contiguous
     docID range; blocks whose [min_doc, max_doc] miss the range are
     skipped at the scan, and the scorer masks the range inside the
-    stripe. Stats stay global (scoped BM25 semantics, same as the
+    stripe. Contiguity is VERIFIED, not assumed: the same aggregate
+    that finds [lo, hi] also counts the conversation's docs — if
+    count < hi−lo+1 (an append added turns to an existing conv), the
+    exact docID set (bounded by the conversation's size) is collected
+    and the scorer masks by membership instead of range, so docs of
+    OTHER conversations inside the range are never scored into scoped
+    results. Stats stay global (scoped BM25 semantics, same as the
     relational path). Threshold pruning is disabled under scope: a
     block's top posting may lie outside the range, making the lower
     bound unachievable in scope.
@@ -87,15 +94,31 @@ def score_topk(
         return empty
 
     scope_range: tuple[int, int] | None = None
+    scope_ids: np.ndarray | None = None
     if conv_id is not None:
         row = (
             index.docs.filter(F.col("conv_id") == conv_id)
-            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .agg(
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+                F.count("*").alias("n"),
+            )
             .collect()[0]
         )
         if row["lo"] is None:
             return empty
         scope_range = (int(row["lo"]), int(row["hi"]))
+        if int(row["n"]) != scope_range[1] - scope_range[0] + 1:
+            # non-contiguous conversation: exact membership mask
+            scope_ids = np.array(
+                sorted(
+                    r["doc_id"]
+                    for r in index.docs.filter(F.col("conv_id") == conv_id)
+                    .select("doc_id")
+                    .collect()
+                ),
+                dtype=np.int64,
+            )
         prune = False  # lb not achievable-in-scope; range skipping below
 
     buckets = sorted({term_bucket_of(t) for t in idf_map})
@@ -159,7 +182,12 @@ def score_topk(
         pdf = pdf.sort_values("term", kind="mergesort")
         for row in pdf.itertuples(index=False):
             docs, tfs, dls = decode_block(row.gaps, row.tfs, row.dls, base)
-            if scope_range is not None:
+            if scope_ids is not None:
+                mask = np.isin(docs, scope_ids)  # exact membership
+                if not mask.any():
+                    continue
+                docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
+            elif scope_range is not None:
                 mask = (docs >= scope_range[0]) & (docs <= scope_range[1])
                 if not mask.any():
                     continue

@@ -348,7 +348,10 @@ def append_to_index(
 
     - new turns get docIDs offset past the existing corpus (docIDs stay
       dense; the global (conv_id, turn_idx) order invariant holds when
-      appends arrive log-structured, i.e. new conv_ids sort after old);
+      appends arrive log-structured, i.e. new conv_ids sort after old).
+      Appends into an EXISTING conv_id are allowed: scoped search
+      verifies contiguity per query and falls back to an exact
+      membership mask when violated (plans/query.score_topk);
     - new posting blocks land in NEW stripes (doc ranges are disjoint),
       so the merge is a pure append of block rows — no rewrite of old
       blocks. A stripe shared at the boundary simply has two block rows

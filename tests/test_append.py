@@ -133,3 +133,65 @@ def test_compaction_equals_one_shot(spark, tmp_path):
     assert idx_c2.postings.groupBy(*key).count().agg(F.max("count")).collect()[0][0] == 1
     idx_re = load_index(spark, str(tmp_path / "i3"))
     assert idx_re.postings_rel.startswith("postings_v")
+
+
+def test_scoped_search_non_contiguous_conv(spark, tmp_path):
+    """ADVICE fix: an append that adds turns to an EXISTING conversation
+    breaks docID contiguity for that conv. The scoped path must detect
+    it (count < hi-lo+1) and mask by exact membership — docs of other
+    conversations inside [lo, hi] must never leak into scoped results."""
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.operators.bm25 import bm25_topk
+
+    pdf = make_transcripts(n_convs=20)
+    a = pdf[pdf["conv_id"] < "conv00000012"].reset_index(drop=True)
+    rest = pdf[pdf["conv_id"] >= "conv00000012"].reset_index(drop=True)
+    # second batch: new convs PLUS extra turns for existing conv 5
+    extra = make_transcripts(n_convs=3, seed=99).copy()
+    extra["conv_id"] = "conv00000005"
+    extra["turn_idx"] = 1000 + extra.reset_index().index
+    import pandas as pd
+
+    b = pd.concat([rest, extra], ignore_index=True)
+
+    build_index(spark, spark.createDataFrame(a), str(tmp_path / "nc"), stripe_docs=64)
+    idx = append_to_index(spark, spark.createDataFrame(b), str(tmp_path / "nc"))
+
+    # conv 5 is genuinely non-contiguous now
+    r = (
+        idx.docs.filter(F.col("conv_id") == "conv00000005")
+        .agg(F.min("doc_id"), F.max("doc_id"), F.count("*"))
+        .collect()[0]
+    )
+    assert r[2] < r[1] - r[0] + 1
+
+    # brute twin over NORMALIZED text (the index tokenizes normalized
+    # turns; relational bm25_topk tokenizes its input as-is)
+    from semantic_pdf_search_engine_spark.functions.normalize import normalize_expr
+
+    docs = idx.docs.withColumn("text", normalize_expr(F.col("text")))
+    for q in make_queries(12)[::3]:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(
+                docs, q, 10, round_scores=False,
+                scope=F.col("conv_id") == "conv00000005",
+            ).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in score_topk(
+                idx, q, 10, round_scores=False, conv_id="conv00000005"
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+        # every winner genuinely belongs to the scoped conversation
+        members = {
+            r["doc_id"]
+            for r in docs.filter(F.col("conv_id") == "conv00000005")
+            .select("doc_id").collect()
+        }
+        assert all(d in members for d, _ in got)
