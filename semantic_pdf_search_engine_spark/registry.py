@@ -386,6 +386,37 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(attach_payload(_docs(spark, sf_dir)))
 
 
+SPAN_PHRASE = "filter window"
+
+
+def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span pipeline's exact-substring short-circuit
+    (/root/reference/src/fuzzy.rs:24-26) as a HARD oracle row: for
+    every doc containing the phrase, the occurrence count and the
+    first/last 0-based offsets into the lowered turn text —
+    SQL-expressible (replace-count + strpos + reversed strpos), unlike
+    the Jaro-Winkler fallback which stays rows-only in fuzzy_spans.
+    Offsets agree with spans.fuzzy_find's exact path (unit-tested)."""
+    p = SPAN_PHRASE
+    plen = len(p)
+    lt = F.lower(F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", lt.alias("lt"))
+    n = (
+        (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(p), F.lit(""))))
+        / F.lit(plen)
+    ).cast("int")
+    pos = F.instr(F.col("lt"), p)
+    rpos = F.instr(F.reverse(F.col("lt")), p[::-1])
+    first = (pos - 1).cast("int")
+    last = (F.length("lt") - rpos + 1 - plen).cast("int")
+    return docs.select(
+        "doc_id",
+        n.alias("n_matches"),
+        first.alias("first_off"),
+        last.alias("last_off"),
+    ).filter(F.col("n_matches") > 0)
+
+
 def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-top-k span refinement (reference fuzzy.rs pipeline) over the
     flagship query's BM25 winners — rows-only check (Jaro-Winkler is
@@ -447,6 +478,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "fuzzy_spans": q_fuzzy_spans,
+    "exact_spans": q_exact_spans,
     "token_stats": q_token_stats,
     "rolling_fingerprint": q_rolling_fingerprint,
     "tokenize_tf": q_tokenize_tf,
@@ -500,6 +532,15 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(AVG(dl), {SCORE_DECIMALS}) AS a
 FROM dl
 """,
     "bm25_topk": _bm25_sql(_FLAGSHIP_TERMS, DEFAULT_TOP_K),
+    "exact_spans": f"""
+WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents)
+SELECT doc_id,
+       CAST((length(lt) - length(replace(lt, '{SPAN_PHRASE}', ''))) / {len(SPAN_PHRASE)} AS INT) AS n_matches,
+       CAST(strpos(lt, '{SPAN_PHRASE}') - 1 AS INT) AS first_off,
+       CAST(length(lt) - strpos(reverse(lt), reverse('{SPAN_PHRASE}')) + 1 - {len(SPAN_PHRASE)} AS INT) AS last_off
+FROM d
+WHERE (length(lt) - length(replace(lt, '{SPAN_PHRASE}', ''))) / {len(SPAN_PHRASE)} >= 1
+""",
     "bm25_scoped": _bm25_sql(
         _FLAGSHIP_TERMS, DEFAULT_TOP_K, scope_pred=f"source = '{SCOPED_SOURCE}'"
     ),

@@ -75,3 +75,20 @@ def test_refine_spans_end_to_end(spark):
     norm = normalize_py("Alpha beta. The infor-\nmation lives here. Tail.")
     assert "information" in norm[m["start"] : m["end"]].lower()
     assert out[2] == []
+
+
+def test_exact_spans_matches_fuzzy_find_exact_path():
+    """The exact_spans registry columns (n/first/last) must agree with
+    the span pipeline's exact short-circuit (fuzzy_find score-1.0 path)."""
+    from semantic_pdf_search_engine_spark.operators.spans import fuzzy_find
+
+    hay = "the filter window starts here; another filter window ends it"
+    needle = "filter window"
+    spans = fuzzy_find(hay, needle)
+    assert all(s[2] == 1.0 for s in spans)
+    n, first, last = len(spans), spans[0][0], spans[-1][0]
+    # the Column formulas, evaluated in plain python
+    plen = len(needle)
+    assert n == (len(hay) - len(hay.replace(needle, ""))) // plen
+    assert first == hay.find(needle)
+    assert last == len(hay) - (hay[::-1].find(needle[::-1])) - plen
