@@ -28,10 +28,9 @@ TOKEN_SPLIT_RE: str = "[^a-z0-9]+"
 # lets document-at-a-time WAND run per-stripe with no cross-partition
 # score re-assembly.  stripe width is in docs, not postings.
 STRIPE_DOCS: int = 4096
-# Doc-range salting cutoff: terms with df > HOT_TERM_DF are built in
-# contiguous doc-range sub-groups (salt = stripe bucket), keeping delta
-# encoding valid while spreading hot-term (Zipf head) work across tasks.
-HOT_TERM_DF: int = 100_000
+# (No separate hot-term cutoff exists: the stripe IS the salt — every
+# term, hot or cold, is built as independent (term, stripe) groups, so
+# Zipf-head terms never concentrate in one task. See operators/postings.)
 
 # Score rounding used ONLY at the oracle-comparison boundary: float64
 # summation order differs between Spark partitions / DuckDB, so exposed

@@ -72,7 +72,20 @@ def assign_doc_ids(
             yield out
 
     result = ordered.mapInPandas(add_ids, schema=out_schema)
+    # the persist pins partition contents between the counts pass and
+    # the add_ids pass; callers release it AFTER consuming the result
+    # (build/append call unpersist_doc_ids post-write — leaving it
+    # pinned would accumulate cached partitions across builds)
+    result._docids_cached_parent = ordered  # type: ignore[attr-defined]
     return result
+
+
+def unpersist_doc_ids(df: DataFrame) -> None:
+    """Release the two-pass cache pinned by assign_doc_ids. Call after
+    the DataFrame has been consumed (e.g. written to parquet)."""
+    parent = getattr(df, "_docids_cached_parent", None)
+    if parent is not None:
+        parent.unpersist()
 
 
 def assign_doc_ids_small(df: DataFrame, order_cols=ORDER_COLS) -> DataFrame:

@@ -23,11 +23,12 @@ handled explicitly"):
   3. repartition by (term, stripe_id) + applyInPandas encode.
   Everything else is narrow Arrow passes.
 
-* **block_max_contrib** is the exact max per-posting BM25 contribution
-  in the block (idf and avgdl are known at build time), giving
-  query-time block-max pruning tight, *achievable* bounds — so the
-  per-stripe lower bound used to derive the pruning threshold is
-  valid (some real doc attains it).
+* **Raw block-max facts** (max_tf, top_tf, top_dl — the tf/dl of the
+  posting whose contribution is maximal under build-time stats) give
+  query-time block-max pruning tight, *achievable* bounds recomputed
+  under CURRENT stats — so the per-stripe lower bound used to derive
+  the pruning threshold is valid (some real doc attains it) even after
+  incremental appends drift idf/avgdl.
 
 Reference parity: this stage replaces embed+upsert
 (/root/reference/src/embed.rs:44-63, /root/reference/src/qdrant.rs:36-68);

@@ -9,10 +9,11 @@ Pipeline (replacing the reference's Qdrant search,
      `term_bucket` (buckets computed driver-side from the query terms,
      pushed as a partition filter) + row-group min/max skipping on
      `term`;
-  3. **stripe pruning (block-max)**: per stripe,
-     ub = Σ_terms max_contrib (no doc in the stripe can beat ub);
-     lb = max_terms max_contrib (achievable: max_contrib is the exact
-     contribution of a real posting, so some doc in the stripe scores
+  3. **stripe pruning (block-max)**: per stripe, bounds recomputed
+     from RAW block facts under CURRENT stats —
+     ub = Σ_terms idf·contrib(max_tf, dl→0) (no doc can beat it);
+     lb = max_terms idf·contrib(top_tf, top_dl) (achievable: (top_tf,
+     top_dl) is a real stored posting, so some doc in the stripe scores
      ≥ lb). Threshold T = k-th largest lb across stripes — at least k
      distinct docs (one per stripe) score ≥ T, so any stripe with
      ub < T cannot contribute to the top k. The lb top-k is a tiny

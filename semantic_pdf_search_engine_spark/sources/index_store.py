@@ -12,7 +12,7 @@ tables with the same columns and bucket(term) partitioning):
       docfreq/           (term, df, idf)
       postings/          partitioned by term_bucket=NN
                          (term, stripe_id, n_postings, min_doc, max_doc,
-                          gaps, tfs, dls, max_tf, max_contrib)
+                          gaps, tfs, dls, max_tf, top_tf, top_dl)
 
 Resume (north_rule "resumable from checkpoint with per-partition
 lineage + metrics"): each stage commits atomically (write → fsync
@@ -43,7 +43,10 @@ from pyspark.sql import functions as F
 
 from semantic_pdf_search_engine_spark.config import STRIPE_DOCS
 from semantic_pdf_search_engine_spark.operators import postings as P
-from semantic_pdf_search_engine_spark.operators.docids import assign_doc_ids
+from semantic_pdf_search_engine_spark.operators.docids import (
+    assign_doc_ids,
+    unpersist_doc_ids,
+)
 
 NUM_TERM_BUCKETS = 32
 
@@ -229,6 +232,7 @@ def build_index(
         docs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
         ).parquet(str(d / "docs"))
+        unpersist_doc_ids(docs)
         n_rows = int(obs.get["rows"])
         dt = m.record("docs", d / "docs", n_rows, t0)
         metrics["docs_turns_per_sec"] = round(n_rows / dt, 1)
@@ -372,9 +376,8 @@ def append_to_index(
     docfreq_rel = params.get("docfreq_rel", "docfreq")
 
     t0 = time.time()
-    new_docs = assign_doc_ids(new_transcripts).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(n_old)
-    )
+    assigned = assign_doc_ids(new_transcripts)
+    new_docs = assigned.withColumn("doc_id", F.col("doc_id") + F.lit(n_old))
     new_docs.persist()
     n_new = new_docs.count()
     new_docs.write.mode("append").parquet(str(d / "docs"))
@@ -424,6 +427,7 @@ def append_to_index(
 
     new_docs.unpersist()
     tf_new.unpersist()
+    unpersist_doc_ids(assigned)
 
     params.update(
         {
