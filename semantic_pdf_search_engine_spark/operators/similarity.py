@@ -352,43 +352,84 @@ def embedding_neardup_lsh_pairs(
     path replacing `embedding_neardup_pairs`' bounded cartesian:
 
       1. band_assign: b band keys per vector (one Arrow matmul);
-      2. explode + self-equality-join on the band key — the shuffle
-         moves (key, id) pairs, candidates are Σ_buckets |bucket|²,
-         never n²;
-      3. distinct (a, b) BEFORE cosine (a pair matching in m bands is
-         scored once, not m times);
-      4. exact cosine on candidates only, filter ≥ threshold.
+      2. explode (vector carried WITH its key — a b× shuffle-volume
+         trade against the alternative, two shuffles of the candidate
+         pair set, which at low thresholds dwarfs b·n rows) →
+         repartition on band key;
+      3. within each band bucket, ONE blocked numpy X·Xᵀ scores all
+         intra-bucket pairs (a BLAS call per bucket, never per-pair
+         expression evaluation) and only pairs ≥ threshold are EMITTED
+         — the shuffle after scoring moves surviving pairs, not
+         candidates;
+      4. cross-band dedupe on the (a, b) survivors (tiny).
 
     Defaults (b=16, r=2) target recall ≥ 0.99 at cosine 0.3 (p ≈ 0.60
     → 1 − (1−p²)^16 ≈ 0.999); for production near-dup thresholds
     (0.9+) use r=8, b=4 for ~40× candidate pruning at recall ≥ 0.999.
     `max_band_df` caps hot-bucket fanout (skew guard, same shape as
     ngram_jaccard's hot-shingle cutoff): band keys appearing in more
-    than max_band_df vectors are dropped from candidate GENERATION —
-    an explicit recall trade documented here, never silent.
+    than max_band_df vectors are dropped from pair GENERATION — an
+    explicit recall trade documented here, never silent. Buckets larger
+    than one Arrow batch are scored in row blocks against the full
+    bucket (memory stays O(block × bucket), not bucket²).
 
     Reference analog: Qdrant's vector index as the pair-pruning
     structure (/root/reference/src/qdrant.rs:13-34). Approximate by
     construction → rows-only driver check; recall vs the exact spine is
     asserted in tests/test_similarity.py."""
+    import pandas as pd
+
     first = emb.select(vec_col).first()
     if first is None:
         return emb.sparkSession.createDataFrame([], "a long, b long, sim double")
     dim = len(first[0])
     planes3 = band_planes(dim, n_bands, band_bits, seed)
     keyed = band_assign(emb, planes3, vec_col).select(
-        F.col(id_col), F.explode("_band_keys").alias("bk")
+        F.col(id_col), F.col(vec_col), F.explode("_band_keys").alias("bk")
     )
     if max_band_df is not None:
         hot = keyed.groupBy("bk").count().filter(F.col("count") > max_band_df)
         keyed = keyed.join(F.broadcast(hot.select("bk")), "bk", "left_anti")
-    cand = (
-        keyed.alias("x")
-        .join(keyed.alias("y"), "bk")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
-        .distinct()
+
+    thr = float(threshold)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        order = np.argsort(ids, kind="mergesort")
+        ids, X = ids[order], X[order]
+        outs = []
+        block = 2048
+        for s in range(0, len(ids), block):
+            e = min(s + block, len(ids))
+            sims = X[s:e] @ X[s:].T  # upper-triangle region only
+            ii, jj = np.nonzero(np.round(sims, 6) >= thr)
+            keep = (jj + s) > (ii + s)  # strictly upper triangle: a < b
+            ii, jj = ii[keep], jj[keep]
+            if ii.size:
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[ii + s],
+                            "b": ids[jj + s],
+                            "sim": np.round(sims[ii, jj], 6),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = keyed.groupBy("bk").applyInPandas(
+        score_bucket, schema="a long, b long, sim double"
     )
-    return cosine_pairs_exact(cand, emb, id_col, vec_col).filter(
-        F.col("sim") >= threshold
-    )
+    # cross-band dedupe: sims are identical across bands (same exact
+    # cosine), so distinct on the full row is exact
+    return pairs.distinct()

@@ -259,7 +259,10 @@ def _ann_index(spark: SparkSession, sf_dir: str):
             return idx
     except (FileNotFoundError, ValueError, KeyError):
         pass
-    return ann_store.build_ann_index(spark, emb, d)
+    # 6 planes → 64 LSH bucket dirs: right-sized for the testdata
+    # corpus (bucket occupancy ~n/64); at production corpus sizes raise
+    # n_planes so buckets stay directory-sized
+    return ann_store.build_ann_index(spark, emb, d, n_planes=6)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
