@@ -89,8 +89,15 @@ def ngram_jaccard_pairs(
     per-doc shingle count. Hot shingles above max_shingle_df are
     excluded from pair GENERATION only (both sides of the oracle do the
     same), capping worst-case fanout at max_shingle_df² per shingle.
+
+    The exploded shingle table feeds FIVE plan consumers (sizes, df,
+    both join sides, intersection); localCheckpoint materializes it
+    once instead of re-tokenizing per consumer (blocks are freed by the
+    ContextCleaner when the result is GC'd). A production multi-pass
+    dedup job would write this table to parquet instead — same shape,
+    executor-loss-safe.
     """
-    sh = doc_shingles(docs, id_col, text_col)
+    sh = doc_shingles(docs, id_col, text_col).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sh_df"))
     sh_cold = sh.join(
