@@ -8,6 +8,9 @@ Usage (local or `spark-submit --py-files engine.zip cli.py ...`):
     python -m semantic_pdf_search_engine_spark.cli query \
         --index /path/index --q "some terms" [--k 10] [--spans]
     python -m semantic_pdf_search_engine_spark.cli bench --index /path/index
+    python -m semantic_pdf_search_engine_spark.cli append --input new.parquet --index /path/index
+    python -m semantic_pdf_search_engine_spark.cli compact --index /path/index
+    python -m semantic_pdf_search_engine_spark.cli build-ann --input emb.parquet --ann /path/ann
 
 `build-index` resumes from the manifest by default (the durable version
 of the reference's ready-set polling, upload.rs:52-70 / ready.rs:13-23).
@@ -41,6 +44,19 @@ def main(argv: list[str] | None = None) -> int:
     be = sub.add_parser("bench", help="query latency over the fixture set")
     be.add_argument("--index", required=True)
     be.add_argument("--n", type=int, default=50)
+
+    ap = sub.add_parser("append", help="append a transcript segment to an index")
+    ap.add_argument("--input", required=True, help="new transcripts parquet path")
+    ap.add_argument("--index", required=True)
+
+    co = sub.add_parser("compact", help="LSM-merge posting segments to one block per (term, stripe)")
+    co.add_argument("--index", required=True)
+
+    an = sub.add_parser("build-ann", help="materialize the bucket-partitioned ANN store")
+    an.add_argument("--input", required=True, help="embeddings parquet path")
+    an.add_argument("--ann", required=True, help="ANN store output dir")
+    an.add_argument("--planes", type=int, default=8)
+    an.add_argument("--centroids", type=int, default=16)
 
     args = p.parse_args(argv)
 
@@ -81,6 +97,45 @@ def main(argv: list[str] | None = None) -> int:
             hits = refine_spans(hits, args.q)
         for row in hits.collect():
             print(json.dumps(row.asDict(recursive=True), default=str))
+    elif args.cmd == "append":
+        from semantic_pdf_search_engine_spark.sources.index_store import (
+            append_to_index,
+        )
+
+        t0 = time.time()
+        idx = append_to_index(spark, spark.read.parquet(args.input), args.index)
+        print(
+            json.dumps(
+                {"n_docs": idx.n_docs, "wall_sec": round(time.time() - t0, 2)}
+            )
+        )
+    elif args.cmd == "compact":
+        from semantic_pdf_search_engine_spark.sources.index_store import compact_index
+
+        t0 = time.time()
+        idx = compact_index(spark, args.index)
+        print(
+            json.dumps(
+                {
+                    "postings_rel": idx.postings_rel,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "build-ann":
+        from semantic_pdf_search_engine_spark.sources.ann_store import build_ann_index
+
+        t0 = time.time()
+        ai = build_ann_index(
+            spark,
+            spark.read.parquet(args.input),
+            args.ann,
+            n_planes=args.planes,
+            n_centroids=args.centroids,
+        )
+        print(
+            json.dumps({"n_rows": ai.n_rows, "wall_sec": round(time.time() - t0, 2)})
+        )
     elif args.cmd == "bench":
         import statistics
 

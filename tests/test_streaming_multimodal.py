@@ -109,3 +109,67 @@ def test_multimodal_meta(spark):
 def test_decode_stub_strict_raises():
     with pytest.raises(NotImplementedError):
         decode_stub(b"bytes", strict=True)
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState exact dedup: first sighting of a content
+    fingerprint is emitted (min doc_id in that batch), duplicates in the
+    SAME batch and in LATER batches are swallowed by keyed state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.streaming.stateful import (
+        start_streaming_dedup,
+    )
+
+    import os
+    import shutil
+
+    schema = "doc_id long, text string"
+    inp = tmp_path / "in"
+    inp.mkdir()
+
+    def land(rows, name, mtime):
+        # the file source lists FLAT files; stage via coalesce(1) and
+        # copy the single part file in with a controlled mtime so
+        # maxFilesPerTrigger=1 yields deterministic batch order
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = inp / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 1 (one file): A twice (ids 1, 2) + B once (id 3)
+    land([(1, "alpha text"), (2, "alpha text"), (3, "beta text")], "b1", 1_000_000)
+    # batch 2: A again (id 10, must be swallowed) + C (id 11)
+    land([(10, "alpha text"), (11, "gamma text")], "b2", 1_000_100)
+
+    q = start_streaming_dedup(
+        spark,
+        str(inp),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        schema,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    by_fp = out.set_index("fp")
+    # exactly 3 distinct contents, each emitted once
+    assert len(out) == 3 and out.fp.nunique() == 3
+    # representatives: within-batch min doc_id; 'alpha' rep can be 1 only
+    reps = sorted(out.rep_id.tolist())
+    assert reps == [1, 3, 11], reps
+    # duplicate counting within the first-sight batch
+    assert sorted(out.n_dups_in_batch.tolist()) == [1, 1, 2]
+
+    # restart over the same checkpoint with a third batch: state survives
+    land([(20, "beta text"), (21, "delta text")], "b3", 1_000_200)
+    q2 = start_streaming_dedup(
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"), schema
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(out2) == 4  # only 'delta' added; 'beta' replay swallowed
+    assert 21 in out2.rep_id.tolist() and 20 not in out2.rep_id.tolist()
