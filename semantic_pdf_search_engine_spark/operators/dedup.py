@@ -259,3 +259,60 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .groupBy(id_col)
         .agg(F.sum("bitval").cast("long").alias("simhash"))
     )
+
+
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4  # 4-bit bands; pigeonhole: hamming <= 3 => >=1 band equal
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_BANDS - 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, hamming) pairs with simhash Hamming distance ≤ max_hamming.
+
+    EXACT by construction (unlike MinHash banding): splitting the
+    16-bit fingerprint into SIMHASH_BANDS 4-bit bands and equality-
+    joining on (band_idx, band_val) cannot miss a pair — if all 4 bands
+    differ, the distance is ≥ 4 (pigeonhole), so candidate generation
+    has recall 1.0 for max_hamming ≤ 3 and the final bit_count(xor)
+    filter makes precision exact too. Fully SQL-expressible → hard
+    oracle row. Shuffle moves (band, id, hash) triples, never pairs;
+    identical-fingerprint skew behaves like exact dedup (uniform md5-
+    derived band values on natural corpora)."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError("pigeonhole guarantee requires max_hamming < n_bands")
+    sh = simhash(docs, id_col, text_col)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = []
+    for bidx in range(SIMHASH_BANDS):
+        bands.append(
+            sh.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(bidx).alias("band_idx"),
+                F.shiftright(F.col("simhash"), bidx * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -230,6 +230,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole band join over 16-bit simhashes: EXACT pairs at
+    Hamming ≤ 3 (4-bit bands — all four differing implies distance ≥ 4)
+    with a hard SQL oracle; candidate shuffle is (band, id, hash)
+    triples, never all-pairs. Bounded to _PAIR_BOUND like the other
+    pair demos (the 31-word testdata vocab clusters simhashes, making
+    hamming ≤ 3 pairs quadratic by construction; oracle same bound)."""
+    from semantic_pdf_search_engine_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < _PAIR_BOUND)
+    )
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.similarity import brute_cosine_topk
 
@@ -499,6 +513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -719,6 +734,33 @@ bits AS (
 SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
+""",
+        "simhash_neardup": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf, md5(term) AS h FROM tf),
+bits AS (
+    SELECT doc_id, j,
+           SUM(tf * CASE WHEN strpos('0123456789abcdef', substr(h, CAST(j AS INT), 1)) - 1 >= 8
+                         THEN 1 ELSE -1 END) AS s
+    FROM h CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) js
+    GROUP BY doc_id, j
+),
+sh AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, simhash, b AS band_idx, (simhash >> (CAST(b AS INT) * 4)) & 15 AS band_val
+    FROM sh, unnest(generate_series(0, 3)) AS g(b)
+    WHERE doc_id < 1000
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM bands x JOIN bands y USING (band_idx, band_val)
+WHERE x.doc_id < y.doc_id
+  AND bit_count(xor(x.simhash, y.simhash)) <= 3
 """,
         "ann_brute": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

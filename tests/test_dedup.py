@@ -154,3 +154,29 @@ def test_minhash_arrow_equals_sql_semantics(spark):
     """).df().reset_index(drop=True)
     for c in ["sig_1", "sig_2", "sig_3", "sig_4"]:
         assert list(got[c]) == list(want[c]), c
+
+
+def test_simhash_neardup_exact_vs_brute(spark):
+    """Pigeonhole banding must find EXACTLY the pairs with Hamming ≤ 3
+    (recall 1.0 — unlike probabilistic MinHash banding) on a corpus
+    with planted near-identical docs."""
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" tail{i % 3}") for i in range(12)] + [
+        (100, "completely different content about spark shuffles"),
+        (101, "completely different content about spark shuffles plus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    want = {
+        (a, b)
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {(r["a"], r["b"]) for r in simhash_neardup_pairs(df).collect()}
+    assert got == want
