@@ -90,10 +90,6 @@ def score_topk(
     if not q_terms:
         return empty  # empty-query guard (reference P8, search.rs:20-22)
 
-    idf_map = index.idf_of_terms(q_terms)  # fresh idf — valid across appends
-    if not idf_map:
-        return empty
-
     scope_range: tuple[int, int] | None = None
     scope_ids: np.ndarray | None = None
     if conv_id is not None:
@@ -122,9 +118,9 @@ def score_topk(
             )
         prune = False  # lb not achievable-in-scope; range skipping below
 
-    buckets = sorted({term_bucket_of(t) for t in idf_map})
+    buckets = sorted({term_bucket_of(t) for t in q_terms})
     qblocks = index.postings.filter(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(idf_map))
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(q_terms)
     )
     if scope_range is not None:
         lo, hi = scope_range
@@ -132,9 +128,13 @@ def score_topk(
         qblocks = qblocks.filter(
             (F.col("max_doc") >= lo) & (F.col("min_doc") <= hi)
         )
-    qidf = spark.createDataFrame(
-        [(t, float(v)) for t, v in sorted(idf_map.items())], "term string, idf double"
-    )
+    # idf arrives by broadcast-joining the (cached/vocab-sized) docfreq
+    # restricted to the query terms — NOT a per-query driver collect:
+    # this drops one Spark job per query (scheduling dominates latency
+    # at serving scale; fresh stored idf stays valid across appends).
+    # Absent terms simply don't join; an all-absent query falls through
+    # to an empty candidate set.
+    qidf = index.docfreq.filter(F.col("term").isin(q_terms)).select("term", "idf")
     qblocks = qblocks.join(F.broadcast(qidf), "term")
 
     k1, b = K1, B
