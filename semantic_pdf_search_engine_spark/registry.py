@@ -438,12 +438,21 @@ def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-top-k span refinement (reference fuzzy.rs pipeline) over the
     flagship query's BM25 winners — rows-only check (Jaro-Winkler is
     not SQL-expressible; unit-tested against the reference's artifact
-    vectors in tests/test_spans.py)."""
+    vectors in tests/test_spans.py). Winner ids (k rows) are collected
+    and pushed into the docs scan as an In filter (row-group skipping)
+    — the same k-bounded payload-fetch shape as plans/query.search —
+    instead of joining the scan against the whole BM25 subtree."""
     from semantic_pdf_search_engine_spark.operators.spans import refine_spans
 
-    winners = bm25.bm25_topk(_docs(spark, sf_dir), FLAGSHIP_QUERY, DEFAULT_TOP_K)
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    hits = winners.join(docs, "doc_id")
+    winner_ids = [
+        r["doc_id"]
+        for r in bm25.bm25_topk(
+            _docs(spark, sf_dir), FLAGSHIP_QUERY, DEFAULT_TOP_K
+        ).collect()
+    ]
+    hits = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id").isin(winner_ids)
+    )
     refined = refine_spans(hits, "filter window")
     return refined.select(
         "doc_id",
