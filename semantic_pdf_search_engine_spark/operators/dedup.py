@@ -284,7 +284,11 @@ def simhash_neardup_pairs(
     derived band values on natural corpora)."""
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("pigeonhole guarantee requires max_hamming < n_bands")
-    sh = simhash(docs, id_col, text_col)
+    # one fingerprint row per doc feeds 8 plan consumers (4 band
+    # branches x both self-join sides): materialize it once instead of
+    # re-running tokenize + 16-way explode + two aggregations per
+    # consumer (same rationale as ngram_jaccard_pairs' shingle table)
+    sh = simhash(docs, id_col, text_col).localCheckpoint()
     width = SIMHASH_BITS // SIMHASH_BANDS
     bands = []
     for bidx in range(SIMHASH_BANDS):

@@ -47,6 +47,27 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_topk_over(
+    cand: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared scoring tail of every ANN variant: exact cosine against
+    the query literal, round(6) (the pinned oracle boundary), ORDER BY
+    sim DESC, id ASC LIMIT k — ONE definition so the brute, on-the-fly
+    and materialized paths cannot drift in rounding or tie-break."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def brute_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -56,18 +77,10 @@ def brute_cosine_topk(
     exclude_ids: tuple[int, ...] = (),
 ) -> DataFrame:
     """Exact cosine top-k of query_vec over the embedding table."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = emb
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
-    return (
-        out.select(
-            F.col(id_col),
-            F.round(cosine_expr(F.col(vec_col), q), 6).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return cosine_topk_over(out, query_vec, k, id_col, vec_col)
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
@@ -99,17 +112,19 @@ def lsh_assign(
     per row; the matmul is a single BLAS call per batch). Sign
     convention identical to `bucket_expr`: bit i set iff dot > 0."""
     import pandas as pd
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import LongType
 
     P = np.ascontiguousarray(planes, dtype=np.float64)
+    if P.shape[0] > 62:
+        raise ValueError("bucket id is a 63-bit field: n_planes must be <= 62")
     weights = (1 << np.arange(P.shape[0])).astype(np.int64)
 
     def _assign(vecs):
         X = np.array(vecs.tolist(), dtype=np.float64)
         bits = (X @ P.T) > 0
-        return pd.Series((bits @ weights).astype("int32"))
+        return pd.Series((bits @ weights).astype("int64"))
 
-    _assign = F.pandas_udf(_assign, IntegerType())
+    _assign = F.pandas_udf(_assign, LongType())
 
     return emb.withColumn(out_col, _assign(F.col(vec_col)))
 
@@ -127,9 +142,20 @@ def lsh_cosine_topk(
     bucket (plus single-bit-flip neighbor buckets for recall). On a
     materialized index the bucket id is a partition column and this
     becomes partition pruning; here it is computed on the fly."""
-    dim = len(query_vec)
-    planes = hyperplanes(dim, n_planes)
+    planes = hyperplanes(len(query_vec), n_planes)
+    probes = lsh_probe_buckets(planes, query_vec, multiprobe_bits)
+    cand = lsh_assign(emb, planes, vec_col).filter(F.col("_bucket").isin(probes))
+    return cosine_topk_over(cand, query_vec, k, id_col, vec_col)
+
+
+def lsh_probe_buckets(
+    planes: np.ndarray, query_vec: list[float], multiprobe_bits: int = 1
+) -> list[int]:
+    """Driver-side probe set: query bucket + Hamming-ball neighbors.
+    Shared by the on-the-fly path above and the materialized store
+    (sources/ann_store) — one definition of multiprobe semantics."""
     qv = np.asarray(query_vec, dtype=np.float64)
+    n_planes = planes.shape[0]
     qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
     probe = {qbucket}
     if multiprobe_bits >= 1:
@@ -140,17 +166,7 @@ def lsh_cosine_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         }
-    cand = lsh_assign(emb, planes, vec_col).filter(
-        F.col("_bucket").isin(sorted(probe))
-    )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(
-            F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("sim")
-        )
-        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return sorted(probe)
 
 
 def train_ivf_centroids(
@@ -221,20 +237,20 @@ def ivf_cosine_topk(
     tested against the brute path."""
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    probes = ivf_probe_buckets(centroids, query_vec, n_probe)
+    cand = ivf_assign(emb, centroids, vec_col).filter(
+        F.col("_ivf_bucket").isin(probes)
+    )
+    return cosine_topk_over(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_probe_buckets(
+    centroids: np.ndarray, query_vec: list[float], n_probe: int = 4
+) -> list[int]:
+    """Driver-side n_probe nearest centroids (shared with ann_store)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(centroids @ qn))[:n_probe].tolist()
-    cand = ivf_assign(emb, centroids, vec_col).filter(
-        F.col("_ivf_bucket").isin([int(p) for p in probes])
-    )
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(
-            F.col(id_col), F.round(cosine_expr(F.col(vec_col), qcol), 6).alias("sim")
-        )
-        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return [int(p) for p in np.argsort(-(centroids @ qn))[:n_probe]]
 
 
 def embedding_neardup_pairs(

@@ -262,21 +262,33 @@ def _ann_index(spark: SparkSession, sf_dir: str):
 
     from semantic_pdf_search_engine_spark.sources import ann_store
 
+    _N_PLANES = 6  # 64 LSH bucket dirs: right-sized for the testdata
+    # corpus (bucket occupancy ~n/64); at production corpus sizes raise
+    # n_planes so buckets stay directory-sized
+
     emb = _emb(spark, sf_dir)
     root = os.environ.get(
         "SPSE_ANN_CACHE", os.path.join(tempfile.gettempdir(), "spse_ann_cache")
     )
     d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+
+    # cache validity = row count + build params + a DATA signature
+    # (md5 of vec 0's bytes): regenerated fixtures with the same shape
+    # must not silently serve a stale store of the OLD vectors
+    first = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    sig = hashlib.md5(
+        repr([_N_PLANES, emb.count(), list(first[0]) if first else None]).encode()
+    ).hexdigest()
+    sig_path = os.path.join(d, "cache_sig.txt")
     try:
-        idx = ann_store.load_ann_index(spark, d)
-        if idx.n_rows == emb.count():
-            return idx
+        if open(sig_path).read() == sig:
+            return ann_store.load_ann_index(spark, d)
     except (FileNotFoundError, ValueError, KeyError):
         pass
-    # 6 planes → 64 LSH bucket dirs: right-sized for the testdata
-    # corpus (bucket occupancy ~n/64); at production corpus sizes raise
-    # n_planes so buckets stay directory-sized
-    return ann_store.build_ann_index(spark, emb, d, n_planes=6)
+    idx = ann_store.build_ann_index(spark, emb, d, n_planes=_N_PLANES)
+    with open(sig_path, "w") as f:
+        f.write(sig)
+    return idx
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

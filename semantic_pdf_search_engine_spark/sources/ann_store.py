@@ -40,10 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from semantic_pdf_search_engine_spark.operators.similarity import (
-    cosine_expr,
+    cosine_topk_over,
     hyperplanes,
     ivf_assign,
+    ivf_probe_buckets,
     lsh_assign,
+    lsh_probe_buckets,
     train_ivf_centroids,
 )
 
@@ -144,36 +146,6 @@ def load_ann_index(spark: SparkSession, index_dir: str) -> AnnIndex:
     )
 
 
-def lsh_probe_buckets(
-    planes: np.ndarray, query_vec: list[float], multiprobe_bits: int = 1
-) -> list[int]:
-    """Driver-side probe set: query bucket + Hamming-ball neighbors."""
-    qv = np.asarray(query_vec, dtype=np.float64)
-    n_planes = planes.shape[0]
-    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
-    probe = {qbucket}
-    if multiprobe_bits >= 1:
-        probe |= {qbucket ^ (1 << i) for i in range(n_planes)}
-    if multiprobe_bits >= 2:
-        probe |= {
-            qbucket ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
-    return sorted(probe)
-
-
-def _cosine_topk(cand: DataFrame, query_vec, k, id_col, vec_col) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(
-            F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("sim")
-        )
-        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
-
-
 def lsh_topk(
     index: AnnIndex,
     query_vec: list[float],
@@ -186,7 +158,7 @@ def lsh_topk(
     PartitionFilter on `_bucket` — only probed directories are read."""
     probes = lsh_probe_buckets(index.planes, query_vec, multiprobe_bits)
     cand = index.lsh.filter(F.col("_bucket").isin(probes))
-    return _cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return cosine_topk_over(cand, query_vec, k, id_col, vec_col)
 
 
 def ivf_topk(
@@ -200,11 +172,9 @@ def ivf_topk(
     """ANN top-k against the materialized IVF table: n_probe nearest
     centroids (driver-side argsort) become a PartitionFilter on
     `_ivf_bucket`."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probes = [int(p) for p in np.argsort(-(index.centroids @ qn))[:n_probe]]
+    probes = ivf_probe_buckets(index.centroids, query_vec, n_probe)
     cand = index.ivf.filter(F.col("_ivf_bucket").isin(probes))
-    return _cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return cosine_topk_over(cand, query_vec, k, id_col, vec_col)
 
 
 def append_to_ann_index(

@@ -176,10 +176,6 @@ class InvertedIndex:
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/docs")
 
-    def idf_of_terms(self, terms: list[str]) -> dict[str, float]:
-        rows = self.docfreq.filter(F.col("term").isin(terms)).collect()
-        return {r["term"]: r["idf"] for r in rows}
-
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         """Payload fetch of winners — the analog of the reference's
         with_payload(true) point lookup (/root/reference/src/qdrant.rs:92)."""
@@ -211,13 +207,26 @@ def build_index(
     """Full index build: docids → tf → stats/docfreq → posting blocks.
 
     Stages commit independently with lineage manifests; `resume=True`
-    skips completed stages (checkpoint resume).
+    skips completed stages (checkpoint resume). Resume is for an
+    INTERRUPTED BUILD only: once an index has taken appends, its
+    docs/tf hold post-build segments and the stage lineage is stale, so
+    a partially-resumable state is refused rather than silently served
+    with pre-append stats.
     """
     from pyspark.sql import Observation
 
     d = Path(index_dir)
     m = Manifest(index_dir)
     metrics = m.data["metrics"]
+
+    base_stages = ("docs", "tf", "docfreq", "postings")
+    if resume and any(s.startswith("append_") for s in m.data["stages"]):
+        if not all(m.stage_complete(s) for s in base_stages):
+            raise ValueError(
+                "index has incremental appends and incomplete base stages; "
+                "stage-level resume would rebuild with pre-append stats — "
+                "rebuild with resume=False or keep using append_to_index"
+            )
 
     # Row counts and Σdl come from Observations attached to the SAME
     # action that writes each stage — a post-write .count() would
@@ -252,6 +261,7 @@ def build_index(
     tf = spark.read.parquet(str(d / "tf"))
 
     # --- stage 3: corpus stats + docfreq/idf --------------------------------
+    docfreq_rel = m.data["params"].get("docfreq_rel", "docfreq")
     if not (resume and m.stage_complete("docfreq")):
         t0 = time.time()
         # n_docs = stage-1 row count (docIDs are dense over all turns);
@@ -278,7 +288,7 @@ def build_index(
 
         dfreq_cnt.withColumn("idf", idf_udf(F.col("df").cast("double"))).drop(
             "tf_sum"
-        ).write.mode("overwrite").parquet(str(d / "docfreq"))
+        ).write.mode("overwrite").parquet(str(d / docfreq_rel))
         total_tokens = int(obs.get["total_tokens"] or 0)
         avgdl = (float(total_tokens) / n_docs) if n_docs else 0.0
         m.data["params"].update(
@@ -290,13 +300,13 @@ def build_index(
             }
         )
         dt = m.record(
-            "docfreq", d / "docfreq", int(obs.get["rows"]), t0,
+            "docfreq", d / docfreq_rel, int(obs.get["rows"]), t0,
             {"n_docs": n_docs, "avgdl": avgdl},
         )
         metrics["stats_turns_per_sec"] = round(n_turns / dt, 1)
     n_docs = m.data["params"]["n_docs"]
     avgdl = m.data["params"]["avgdl"]
-    dfreq = spark.read.parquet(str(d / "docfreq"))
+    dfreq = spark.read.parquet(str(d / docfreq_rel))
 
     # --- stage 4: compressed posting blocks ---------------------------------
     postings_rel = m.data["params"].get("postings_rel", "postings")
@@ -336,7 +346,7 @@ def build_index(
         avgdl,
         stripe_docs,
         postings_rel=postings_rel,
-        docfreq_rel=m.data["params"].get("docfreq_rel", "docfreq"),
+        docfreq_rel=docfreq_rel,
     )
 
 
