@@ -449,3 +449,75 @@ def embedding_neardup_lsh_pairs(
     # cross-band dedupe: sims are identical across bands (same exact
     # cosine), so distinct on the full row is exact
     return pairs.distinct()
+
+
+# ---------------------------------------------------------------------------
+# batch k-NN join (query TABLE × corpus — the pipeline retrieval shape)
+# ---------------------------------------------------------------------------
+
+
+def knn_join_brute(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, vec_id, sim, rnk): exact top-k corpus neighbors for EVERY
+    query row — the batch shape of brute_cosine_topk (one query table,
+    not one driver-side vector).
+
+    Scale plan: the bounded query set is BROADCAST to every corpus
+    partition; each Arrow batch computes one (batch × queries) matmul
+    and emits only its per-batch top-k rows per query (a monotone
+    selection, so the global top-k is contained in the union of batch
+    top-ks — no Q×N shuffle ever materializes); a window over ≤
+    Q×k×n_batches survivors finishes exactly. Ties: sim rounded to 6
+    (the pinned oracle boundary) DESC, then ascending corpus id —
+    applied identically in the per-batch selection and the final
+    window, and in the DuckDB twin."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, sim double, rnk int"
+        )
+    q_ids = np.array([r[q_id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[q_vec_col] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    def batch_topk(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            order = np.argsort(ids, kind="mergesort")
+            ids, X = ids[order], X[order]
+            sims = np.round(Qn @ X.T, 6)  # (Q, batch)
+            take = min(k, ids.size)
+            # per query: top-k by (sim desc, id asc); ids ascending, so
+            # a stable mergesort on -sim breaks ties by ascending id
+            part = np.argsort(-sims, axis=1, kind="mergesort")[:, :take]
+            qi = np.repeat(q_ids, take)
+            yield pd.DataFrame(
+                {
+                    q_id_col: qi,
+                    id_col: ids[part].ravel(),
+                    "sim": np.take_along_axis(sims, part, axis=1).ravel(),
+                }
+            )
+
+    survivors = emb.select(id_col, vec_col).mapInPandas(
+        batch_topk, schema=f"{q_id_col} long, {id_col} long, sim double"
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

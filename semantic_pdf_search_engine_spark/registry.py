@@ -314,6 +314,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_ann_index(spark, sf_dir), list(qv), k=10)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (query TABLE × corpus): exact top-10 neighbors
+    for each of the first 20 vectors, per-batch matmul top-k + window —
+    no Q×N shuffle (operators/similarity.knn_join_brute). Hard oracle:
+    DuckDB cross join + ROW_NUMBER twin."""
+    from semantic_pdf_search_engine_spark.operators.similarity import knn_join_brute
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_join_brute(emb, queries, k=10)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bounded spine (DuckDB twin); the unbounded scale path is
     q_embedding_neardup_lsh below."""
@@ -536,6 +550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ann_brute": q_ann_brute,
+    "knn_join": q_knn_join,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
@@ -782,6 +797,19 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
 FROM bands x JOIN bands y USING (band_idx, band_val)
 WHERE x.doc_id < y.doc_id
   AND bit_count(xor(x.simhash, y.simhash)) <= 3
+""",
+        "knn_join": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
+s AS (
+    SELECT q.q_id, e.vec_id, ROUND({_COS.format(a="e.embedding", b="q.q_vec")}, 6) AS sim
+    FROM q CROSS JOIN embeddings e
+),
+r AS (
+    SELECT q_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk
+    FROM s
+)
+SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
 """,
         "ann_brute": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

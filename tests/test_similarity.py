@@ -240,3 +240,30 @@ def test_materialized_ann_store(emb, qvec, spark, tmp_path):
     assert idx.n_rows == emb.count() + 1
     top = lsh_topk(idx, qvec, 10, multiprobe_bits=1).collect()
     assert top[0]["vec_id"] in (0, 7777)  # the planted near-dup surfaces
+
+
+def test_knn_join_partitioning_invariant(emb, spark):
+    """Per-batch top-k + global window must equal the full-sort answer
+    regardless of how the corpus is partitioned (monotone selection)."""
+    from semantic_pdf_search_engine_spark.operators.similarity import knn_join_brute
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    base = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in knn_join_brute(emb, queries, k=8).collect()
+    }
+    # exact reference: per-query brute_cosine_topk (single-vector path)
+    for q in queries.collect():
+        want = [
+            r["vec_id"] for r in brute_cosine_topk(emb, list(q["q_vec"]), 8).collect()
+        ]
+        got = [base[(q["q_id"], r)] for r in range(1, len(want) + 1)]
+        assert got == want, q["q_id"]
+    # repartitioned corpus gives the identical answer
+    scrambled = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in knn_join_brute(emb.repartition(7), queries, k=8).collect()
+    }
+    assert scrambled == base
