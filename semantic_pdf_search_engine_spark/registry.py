@@ -328,6 +328,20 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_brute(emb, queries, k=10)
 
 
+def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN against the MATERIALIZED store (probe pairs broadcast-
+    joined into the bucket-partitioned table) — the scale twin of
+    knn_join. Rows-only (bucket recall < 1 by design); recall vs the
+    exact batch join asserted in tests/test_similarity.py."""
+    from semantic_pdf_search_engine_spark.sources.ann_store import knn_join_lsh
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_join_lsh(_ann_index(spark, sf_dir), queries, k=10, multiprobe_bits=2)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bounded spine (DuckDB twin); the unbounded scale path is
     q_embedding_neardup_lsh below."""
@@ -551,6 +565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "ann_brute": q_ann_brute,
     "knn_join": q_knn_join,
+    "knn_join_ann": q_knn_join_ann,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,

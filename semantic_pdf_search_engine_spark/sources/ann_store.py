@@ -214,3 +214,61 @@ def append_to_ann_index(
     os.replace(tmp, d / MANIFEST_NAME)
     index.n_rows = m["n_rows"]
     return index
+
+
+def knn_join_lsh(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Batch ANN against the materialized store: the scale twin of
+    similarity.knn_join_brute. Each query's probe set is computed
+    driver-side; the (q_id, _bucket) pairs are broadcast-joined against
+    the bucket-partitioned table — the dynamic-partition-pruned scan
+    touches only the UNION of probed buckets, and a store row is
+    replicated per matching query (≤ |Q| × probes, never Q×N). Exact
+    cosine per (query, candidate) in one Arrow pass, window top-k.
+    Approximate (bucket recall < 1) — tested against knn_join_brute."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    spark = index.spark
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, sim double, rnk int"
+        )
+    pairs = [
+        (int(r[q_id_col]), int(b))
+        for r in q_rows
+        for b in lsh_probe_buckets(index.planes, list(r[q_vec_col]), multiprobe_bits)
+    ]
+    probes_df = spark.createDataFrame(pairs, f"{q_id_col} long, _bucket long")
+    qmap = {
+        int(r[q_id_col]): np.asarray(r[q_vec_col], dtype=np.float64) for r in q_rows
+    }
+    qnorm = {qid: v / max(np.linalg.norm(v), 1e-300) for qid, v in qmap.items()}
+
+    def _cos(qids, vecs):
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        Q = np.array([qnorm[int(q)] for q in qids], dtype=np.float64)
+        return pd.Series(np.round((Q * X).sum(axis=1), 6))
+
+    cos_udf = F.pandas_udf(_cos, "double")
+
+    cand = index.lsh.withColumn("_bucket", F.col("_bucket").cast("long")).join(
+        F.broadcast(probes_df), "_bucket"
+    )
+    scored = cand.select(
+        F.col(q_id_col), F.col(id_col), cos_udf(F.col(q_id_col), F.col(vec_col)).alias("sim")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )

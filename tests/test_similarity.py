@@ -267,3 +267,32 @@ def test_knn_join_partitioning_invariant(emb, spark):
         for r in knn_join_brute(emb.repartition(7), queries, k=8).collect()
     }
     assert scrambled == base
+
+
+def test_knn_join_lsh_recall(emb, spark, tmp_path):
+    """Batch ANN over the materialized store: every returned pair is a
+    real cosine (exact-scored), and recall@8 vs the exact batch join is
+    well above the random floor with 2-bit multiprobe."""
+    from semantic_pdf_search_engine_spark.operators.similarity import knn_join_brute
+    from semantic_pdf_search_engine_spark.sources.ann_store import (
+        build_ann_index,
+        knn_join_lsh,
+    )
+
+    idx = build_ann_index(spark, emb, str(tmp_path / "ann2"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {}
+    for r in knn_join_brute(emb, queries, k=8).collect():
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in knn_join_lsh(idx, queries, k=8, multiprobe_bits=2).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    # self-match (sim 1.0) must always be found — it shares every band
+    for qid in exact:
+        assert qid in got[qid]
+    recall = sum(len(got[q] & exact[q]) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert recall >= 0.2, recall  # random 64-d corpus: floor, not a guarantee
