@@ -1,0 +1,82 @@
+"""Event-time windowed aggregation with watermarking.
+
+The transcript stream is event-timed (`ts` = turn timestamp); ingest
+monitoring and training-data curation both need per-window rollups
+(turns/tokens per conversation-hour) that tolerate LATE turns without
+unbounded state. Structured Streaming's watermark is the standard
+answer: keep per-window state only until the watermark (max event time
+seen − delay) passes the window end, then finalize and drop it — rows
+arriving later than the delay are discarded, by contract.
+
+Scale shape: the windowed groupBy is a streaming hash aggregate keyed
+on (window, conv_id) — state size is O(open windows × active convs),
+bounded by the watermark delay, never by stream length. Output mode
+"append" emits each window exactly once, on finalization — the shape a
+downstream parquet/Iceberg sink needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.functions.quality import word_count
+
+
+def windowed_turn_stats(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(window_start, window_end, conv_id, n_turns, n_words): tumbling
+    event-time windows per conversation, late data bounded by the
+    watermark delay."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(word_count(F.col(text_col))).cast("long").alias("n_words"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_turns",
+            "n_words",
+        )
+    )
+
+
+def start_windowed_stats(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+):
+    """File stream → watermarked tumbling windows → append-mode parquet
+    (append emits a window only when the watermark finalizes it —
+    exactly-once window rows in the sink)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = windowed_turn_stats(stream, window_duration, watermark_delay)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -173,3 +173,76 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     out2 = spark.read.parquet(str(tmp_path / "out")).toPandas()
     assert len(out2) == 4  # only 'delta' added; 'beta' replay swallowed
     assert 21 in out2.rep_id.tolist() and 20 not in out2.rep_id.tolist()
+
+
+def test_streaming_watermarked_windows(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: a window is emitted
+    (append mode) once the watermark passes its end, counts per
+    (window, conv) are exact, and a too-late row is DROPPED by contract."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.streaming.windows import (
+        start_windowed_stats,
+    )
+
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    inp = tmp_path / "in"
+    inp.mkdir()
+
+    def T(h, m):
+        return dt.datetime(2026, 1, 1, h, m, tzinfo=dt.timezone.utc)
+
+    def land(rows, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = inp / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 1: two turns in hour-10 for convA, one for convB
+    land(
+        [
+            ("convA", 0, "three words here", T(10, 5)),
+            ("convA", 1, "two words", T(10, 40)),
+            ("convB", 0, "one", T(10, 50)),
+        ],
+        "b1",
+        1_000_000,
+    )
+    # batch 2: event time jumps to 12:30 → eviction watermark reaches
+    # 12:00 next batch, finalizing the 10:00-11:00 windows
+    land([("convA", 2, "later window row", T(12, 30))], "b2", 1_000_100)
+    # batch 3: one more advancing row — Spark filters late events
+    # against the PREVIOUS batch's watermark (watermarkForLateEvents
+    # lags eviction by one batch), so the late-filter needs this extra
+    # advancement before the straggler arrives
+    land([("convD", 0, "advance watermark row", T(12, 45))], "b3", 1_000_200)
+    # batch 4: a TOO-LATE straggler for hour-10 — its window end (11:00)
+    # is now behind even the lagging late-event watermark → dropped
+    land([("convA", 3, "too late for hour ten", T(10, 10))], "b4", 1_000_300)
+    # batch 5: push event time far ahead so the 12:00-13:00 window also
+    # finalizes before the stream drains
+    land([("convC", 0, "flush row", T(15, 0))], "b5", 1_000_400)
+
+    q = start_windowed_stats(
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"), schema
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    hour10 = {
+        r["conv_id"]: (r["n_turns"], r["n_words"])
+        for r in out.filter(F.hour("window_start") == 10).collect()
+    }
+    # the straggler (turn_idx 3, 5 words) must NOT be counted
+    assert hour10 == {"convA": (2, 5), "convB": (1, 1)}, hour10
+    hour12 = {
+        r["conv_id"]: r["n_turns"]
+        for r in out.filter(F.hour("window_start") == 12).collect()
+    }
+    assert hour12 == {"convA": 1, "convD": 1}
