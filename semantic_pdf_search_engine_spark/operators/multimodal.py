@@ -83,3 +83,27 @@ def extract_media_meta(
         "width int, height int, n_frames int"
     )
     return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+def sample_frame_indices(
+    meta: DataFrame, k: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, frame_rank, frame_idx): up to k evenly spaced frame indices
+    per media item — the standard uniform temporal sampling a video
+    training pipeline runs before decode (frame_idx = ⌊rank·n/m⌋ with
+    m = min(k, n_frames); deterministic integer arithmetic → exact SQL
+    twin). Pure Column expr over the metadata table: the payload is
+    NEVER touched — at 100 TB the sampler plans which frames to decode
+    before any byte moves."""
+    n = F.col("n_frames").cast("long")
+    m = F.least(F.lit(k), n)
+    idxs = F.transform(
+        F.sequence(F.lit(0), (m - 1).cast("int")),
+        lambda j: F.floor(j.cast("long") * n / m),
+    )
+    return meta.select(
+        F.col(id_col),
+        F.posexplode(F.when(n > 0, idxs).otherwise(F.array().cast("array<bigint>"))).alias(
+            "frame_rank", "frame_idx"
+        ),
+    )

@@ -474,6 +474,20 @@ def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_matches") > 0)
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform temporal frame sampling over the media metadata (up to 4
+    evenly spaced frame indices per item) — plans the decode set without
+    touching payload bytes; exact integer arithmetic, hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_meta,
+        sample_frame_indices,
+    )
+
+    meta = extract_media_meta(attach_payload(_docs(spark, sf_dir)))
+    return sample_frame_indices(meta, k=4)
+
+
 def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-top-k span refinement (reference fuzzy.rs pipeline) over the
     flagship query's BM25 winners — rows-only check (Jaro-Winkler is
@@ -543,6 +557,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
     "fuzzy_spans": q_fuzzy_spans,
     "exact_spans": q_exact_spans,
     "token_stats": q_token_stats,
@@ -905,6 +920,17 @@ from semantic_pdf_search_engine_spark.operators.chunking import (  # noqa: E402
 )
 
 ORACLE_SQL["chunk_turns"] = chunk_turns_fixed_sql()
+
+ORACLE_SQL["frame_sample"] = f"""
+WITH p AS (SELECT doc_id, md5(text) AS h FROM documents),
+meta AS (SELECT doc_id, CAST(1 + {_byte("h", 2)} % 30 AS BIGINT) AS n_frames FROM p),
+m AS (SELECT doc_id, n_frames, LEAST(4, n_frames) AS m FROM meta)
+SELECT doc_id,
+       CAST(j AS INT) AS frame_rank,
+       CAST(floor(CAST(j AS BIGINT) * n_frames / m) AS BIGINT) AS frame_idx
+FROM m, unnest(generate_series(0, CAST(m - 1 AS INT))) AS g(j)
+WHERE n_frames > 0
+"""
 
 ORACLE_SQL["token_stats"] = f"""
 SELECT doc_id,

@@ -246,3 +246,25 @@ def test_streaming_watermarked_windows(spark, tmp_path):
         for r in out.filter(F.hour("window_start") == 12).collect()
     }
     assert hour12 == {"convA": 1, "convD": 1}
+
+
+def test_sample_frame_indices(spark):
+    """Evenly spaced, within range, at most k, exactly n when n < k."""
+    from semantic_pdf_search_engine_spark.operators.multimodal import (
+        sample_frame_indices,
+    )
+
+    meta = spark.createDataFrame(
+        [(1, 30), (2, 3), (3, 1), (4, 4)], "doc_id long, n_frames int"
+    )
+    rows = sample_frame_indices(meta, k=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_rank"], r["frame_idx"]))
+    assert [i for _, i in sorted(by_doc[1])] == [0, 7, 15, 22]  # floor(j*30/4)
+    assert [i for _, i in sorted(by_doc[2])] == [0, 1, 2]  # n < k → n frames
+    assert [i for _, i in sorted(by_doc[3])] == [0]
+    assert [i for _, i in sorted(by_doc[4])] == [0, 1, 2, 3]
+    for doc, pairs in by_doc.items():
+        idxs = [i for _, i in sorted(pairs)]
+        assert idxs == sorted(set(idxs))  # strictly increasing, no dup
