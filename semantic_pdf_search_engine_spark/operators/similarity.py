@@ -471,24 +471,29 @@ def knn_join_brute(
 
     Scale plan: the bounded query set is BROADCAST to every corpus
     partition; each Arrow batch computes one (batch × queries) matmul
-    and emits only its per-batch top-k rows per query (a monotone
-    selection, so the global top-k is contained in the union of batch
-    top-ks — no Q×N shuffle ever materializes); a window over ≤
-    Q×k×n_batches survivors finishes exactly. Ties: sim rounded to 6
-    (the pinned oracle boundary) DESC, then ascending corpus id —
-    applied identically in the per-batch selection and the final
-    window, and in the DuckDB twin."""
+    and emits only its per-batch top-2k candidate rows per query (a
+    monotone selection, so the global top-k is contained in the union
+    of batch top-2ks — no Q×N shuffle ever materializes); the ≤
+    Q×2k×n_batches survivors are then RE-SCORED with the pinned JVM
+    cosine_expr + round(6) — the exact float path every other
+    hard-oracle cosine query pairs with the DuckDB twin — and a window
+    finishes (sim DESC, corpus id ASC). The matmul only SELECTS
+    candidates (with 2k overfetch absorbing rounding-order jitter at
+    the cut); every emitted sim comes from the oracle-pinned
+    expression."""
     import pandas as pd
     from pyspark.sql.window import Window
 
+    spark = emb.sparkSession
     q_rows = queries.select(q_id_col, q_vec_col).collect()
     if not q_rows:
-        return emb.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], f"{q_id_col} long, {id_col} long, sim double, rnk int"
         )
     q_ids = np.array([r[q_id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([r[q_vec_col] for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    overfetch = 2 * k
 
     def batch_topk(batches):
         for pdf in batches:
@@ -497,27 +502,36 @@ def knn_join_brute(
             X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             order = np.argsort(ids, kind="mergesort")
             ids, X = ids[order], X[order]
-            sims = np.round(Qn @ X.T, 6)  # (Q, batch)
-            take = min(k, ids.size)
-            # per query: top-k by (sim desc, id asc); ids ascending, so
-            # a stable mergesort on -sim breaks ties by ascending id
+            sims = Qn @ X.T  # (Q, batch)
+            take = min(overfetch, ids.size)
+            # per query: top candidates by (sim desc, id asc); ids
+            # ascending, so a stable mergesort on -sim ties by id
             part = np.argsort(-sims, axis=1, kind="mergesort")[:, :take]
             qi = np.repeat(q_ids, take)
             yield pd.DataFrame(
-                {
-                    q_id_col: qi,
-                    id_col: ids[part].ravel(),
-                    "sim": np.take_along_axis(sims, part, axis=1).ravel(),
-                }
+                {q_id_col: qi, id_col: ids[part].ravel()}
             )
 
     survivors = emb.select(id_col, vec_col).mapInPandas(
-        batch_topk, schema=f"{q_id_col} long, {id_col} long, sim double"
+        batch_topk, schema=f"{q_id_col} long, {id_col} long"
+    )
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        f"{q_id_col} long, {q_vec_col} array<double>",
+    )
+    rescored = (
+        survivors.join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), q_id_col)
+        .select(
+            q_id_col,
+            id_col,
+            F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
     return (
-        survivors.withColumn("rnk", F.row_number().over(w).cast("int"))
+        rescored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )

@@ -314,6 +314,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_ann_index(spark, sf_dir), list(qv), k=10)
 
 
+def _knn_queries(emb: DataFrame) -> DataFrame:
+    """The batch query set shared by knn_join, knn_join_ann, and the
+    DuckDB twin's WHERE vec_id < 20 — one definition."""
+    return emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN join (query TABLE × corpus): exact top-10 neighbors
     for each of the first 20 vectors, per-batch matmul top-k + window —
@@ -322,10 +330,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.similarity import knn_join_brute
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    return knn_join_brute(emb, queries, k=10)
+    return knn_join_brute(emb, _knn_queries(emb), k=10)
 
 
 def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,10 +341,9 @@ def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.sources.ann_store import knn_join_lsh
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    return knn_join_lsh(
+        _ann_index(spark, sf_dir), _knn_queries(emb), k=10, multiprobe_bits=2
     )
-    return knn_join_lsh(_ann_index(spark, sf_dir), queries, k=10, multiprobe_bits=2)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -262,8 +262,14 @@ def knn_join_lsh(
 
     cos_udf = F.pandas_udf(_cos, "double")
 
-    cand = index.lsh.withColumn("_bucket", F.col("_bucket").cast("long")).join(
-        F.broadcast(probes_df), "_bucket"
+    # static PartitionFilters on the probe-bucket UNION (known driver-
+    # side) — pruning never depends on dynamic partition pruning firing
+    # through the join; the join then restricts each row to ITS queries
+    bucket_union = sorted({b for _, b in pairs})
+    cand = (
+        index.lsh.filter(F.col("_bucket").isin(bucket_union))
+        .withColumn("_bucket", F.col("_bucket").cast("long"))
+        .join(F.broadcast(probes_df), "_bucket")
     )
     scored = cand.select(
         F.col(q_id_col), F.col(id_col), cos_udf(F.col(q_id_col), F.col(vec_col)).alias("sim")

@@ -29,7 +29,7 @@ def test_incremental_stream_matches_batch(spark, tmp_path):
     q = start_incremental_tf(
         spark, inp, str(tmp_path / "seg"), str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = compact_segments(spark, str(tmp_path / "seg"))
     want = term_freq_map_in_pandas(df, id_cols=("conv_id", "turn_idx"))
@@ -46,12 +46,12 @@ def test_streaming_checkpoint_no_reprocess(spark, tmp_path):
     inp = str(tmp_path / "in")
     df.write.parquet(inp)
     q = start_incremental_tf(spark, inp, str(tmp_path / "seg"), str(tmp_path / "ck"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     first = sorted(p.name for p in (tmp_path / "seg").glob("segment=*"))
     assert first  # something was ingested
     # second run over the same input drains nothing new (checkpoint)
     q = start_incremental_tf(spark, inp, str(tmp_path / "seg"), str(tmp_path / "ck"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     second = sorted(p.name for p in (tmp_path / "seg").glob("segment=*"))
     assert second == first
 
@@ -77,10 +77,10 @@ def test_streaming_into_index(spark, tmp_path):
     b = pdf[pdf["conv_id"] >= "conv00000005"]
     spark.createDataFrame(a).coalesce(1).write.parquet(inp)
     q = start_incremental_index(spark, inp, str(tmp_path / "sidx"), str(tmp_path / "ck"))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(inp)
     q = start_incremental_index(spark, inp, str(tmp_path / "sidx"), str(tmp_path / "ck"))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     batch_idx = build_index(spark, df, str(tmp_path / "bidx"), stripe_docs=None or 64)
     stream_idx = load_index(spark, str(tmp_path / "sidx"))
@@ -152,7 +152,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
         str(tmp_path / "ckpt"),
         schema,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     out = spark.read.parquet(str(tmp_path / "out")).toPandas()
     by_fp = out.set_index("fp")
@@ -169,7 +169,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     q2 = start_streaming_dedup(
         spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"), schema
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     out2 = spark.read.parquet(str(tmp_path / "out")).toPandas()
     assert len(out2) == 4  # only 'delta' added; 'beta' replay swallowed
     assert 21 in out2.rep_id.tolist() and 20 not in out2.rep_id.tolist()
@@ -232,7 +232,7 @@ def test_streaming_watermarked_windows(spark, tmp_path):
     q = start_windowed_stats(
         spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"), schema
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     out = spark.read.parquet(str(tmp_path / "out"))
     hour10 = {
