@@ -107,3 +107,32 @@ def sample_frame_indices(
             "frame_rank", "frame_idx"
         ),
     )
+
+
+def resize_plan(
+    meta: DataFrame, max_side: int = 224, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, width, height, out_w, out_h, scale): aspect-preserving
+    resize targets (long side → max_side, never upscaled) computed from
+    the metadata table — like sample_frame_indices, the resize DECISION
+    is planned without touching payload bytes; the pixel op itself is
+    the stubbed decode step. Integer floor arithmetic → exact SQL twin."""
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    long_side = F.greatest(w, h)
+    scale = F.round(
+        F.when(long_side > max_side, F.lit(float(max_side)) / long_side).otherwise(
+            F.lit(1.0)
+        ),
+        6,
+    )
+    out_w = F.when(long_side > max_side, F.floor(w * max_side / long_side)).otherwise(w)
+    out_h = F.when(long_side > max_side, F.floor(h * max_side / long_side)).otherwise(h)
+    return meta.select(
+        F.col(id_col),
+        w.alias("width"),
+        h.alias("height"),
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+        scale.alias("scale"),
+    )

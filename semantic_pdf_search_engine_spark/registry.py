@@ -492,6 +492,20 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frame_indices(meta, k=4)
 
 
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over media metadata (long side
+    → 224, never upscaled) — payload untouched; exact integer/round
+    arithmetic, hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_meta,
+        resize_plan,
+    )
+
+    meta = extract_media_meta(attach_payload(_docs(spark, sf_dir)))
+    return resize_plan(meta, max_side=224)
+
+
 def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-top-k span refinement (reference fuzzy.rs pipeline) over the
     flagship query's BM25 winners — rows-only check (Jaro-Winkler is
@@ -562,6 +576,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "resize_plan": q_resize_plan,
     "fuzzy_spans": q_fuzzy_spans,
     "exact_spans": q_exact_spans,
     "token_stats": q_token_stats,
@@ -934,6 +949,20 @@ SELECT doc_id,
        CAST(floor(CAST(j AS BIGINT) * n_frames / m) AS BIGINT) AS frame_idx
 FROM m, unnest(generate_series(0, CAST(m - 1 AS INT))) AS g(j)
 WHERE n_frames > 0
+"""
+
+ORACLE_SQL["resize_plan"] = f"""
+WITH p AS (SELECT doc_id, md5(text) AS h FROM documents),
+meta AS (SELECT doc_id,
+                CAST(64 + {_byte("h", 0)} % 192 AS BIGINT) AS width,
+                CAST(64 + {_byte("h", 1)} % 192 AS BIGINT) AS height
+         FROM p),
+m AS (SELECT doc_id, width, height, GREATEST(width, height) AS ls FROM meta)
+SELECT doc_id, width, height,
+       CAST(CASE WHEN ls > 224 THEN floor(width * 224 / ls) ELSE width END AS INT) AS out_w,
+       CAST(CASE WHEN ls > 224 THEN floor(height * 224 / ls) ELSE height END AS INT) AS out_h,
+       ROUND(CASE WHEN ls > 224 THEN 224.0 / ls ELSE 1.0 END, 6) AS scale
+FROM m
 """
 
 ORACLE_SQL["token_stats"] = f"""

@@ -268,3 +268,19 @@ def test_sample_frame_indices(spark):
     for doc, pairs in by_doc.items():
         idxs = [i for _, i in sorted(pairs)]
         assert idxs == sorted(set(idxs))  # strictly increasing, no dup
+
+
+def test_resize_plan(spark):
+    """Long side capped at max_side, aspect preserved, never upscaled."""
+    from semantic_pdf_search_engine_spark.operators.multimodal import resize_plan
+
+    meta = spark.createDataFrame(
+        [(1, 448, 224), (2, 100, 50), (3, 224, 448), (4, 224, 224)],
+        "doc_id long, width int, height int",
+    )
+    rows = {r["doc_id"]: r for r in resize_plan(meta, max_side=224).collect()}
+    assert (rows[1]["out_w"], rows[1]["out_h"]) == (224, 112)
+    assert (rows[2]["out_w"], rows[2]["out_h"]) == (100, 50)  # no upscale
+    assert rows[2]["scale"] == 1.0
+    assert (rows[3]["out_w"], rows[3]["out_h"]) == (112, 224)
+    assert (rows[4]["out_w"], rows[4]["out_h"]) == (224, 224)
