@@ -69,3 +69,23 @@ def test_manifest_lineage_records_files(spark, tmp_path):
         "stats_turns_per_sec",
         "postings_turns_per_sec",
     }
+
+
+def test_single_turn_build_and_query(spark, tmp_path):
+    """Degenerate corpus: one turn. Build succeeds, stats are sane, the
+    only doc is retrievable, absent terms return empty."""
+    from semantic_pdf_search_engine_spark.plans.query import score_topk
+    from semantic_pdf_search_engine_spark.sources.index_store import build_index
+
+    df = spark.createDataFrame(
+        [("convX", 0, "user", "lonely single turn text", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    idx = build_index(spark, df, str(tmp_path / "one"), stripe_docs=64)
+    assert idx.n_docs == 1 and idx.avgdl == 4.0
+    hits = score_topk(idx, "lonely text", 5).collect()
+    assert [r["doc_id"] for r in hits] == [0]
+    assert score_topk(idx, "zzznothere", 5).count() == 0
+    # scoped to the only conversation
+    assert [r["doc_id"] for r in score_topk(idx, "single", 5, conv_id="convX").collect()] == [0]
+    assert score_topk(idx, "single", 5, conv_id="convNOPE").count() == 0
