@@ -436,6 +436,64 @@ def q_events_daily_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("rnk", F.row_number().over(w))
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: ROLLUP(day, event_type) — per-type,
+    per-day and grand totals in one pass (GROUPING SETS; partial
+    aggregation handles all levels map-side)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+            "total",
+        )
+    )
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile`
+    == DuckDB `quantile_cont` semantics — a sort-based exact aggregate,
+    NOT the approximate sketch)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of join: every click matched to the user's latest
+    prior-or-equal purchase (operators/temporal.asof_join — union-tag +
+    window, one shuffle, no range fan-out). Hard oracle: DuckDB native
+    ASOF LEFT JOIN. No-match sentinels (-1 / 0.0) keep the hash compare
+    null-free on both sides."""
+    from semantic_pdf_search_engine_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, by=("user_id",), right_cols=("event_id", "value"))
+    return j.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("r_event_id"), F.lit(-1)).cast("long").alias("p_event_id"),
+        F.round(F.coalesce(F.col("r_value"), F.lit(0.0)), 6).alias("p_value"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: bytes → Arrow UDF → typed metadata
     (decode step stubbed; see operators/multimodal.py)."""
@@ -608,6 +666,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_daily_rank": q_events_daily_rank,
+    "events_rollup": q_events_rollup,
+    "events_asof": q_events_asof,
+    "events_percentiles": q_events_percentiles,
 }
 
 from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
@@ -899,6 +960,31 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY total DESC, c_custkey ASC
 LIMIT 10
+""",
+        "events_asof": """
+SELECT l.event_id,
+       l.user_id,
+       CAST(COALESCE(r.event_id, -1) AS BIGINT) AS p_event_id,
+       ROUND(COALESCE(r.value, 0.0), 6) AS p_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "events_rollup": """
+SELECT COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
+""",
+        "events_percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(MIN(value), 6) AS vmin,
+       ROUND(MAX(value), 6) AS vmax
+FROM events GROUP BY event_type
 """,
         "events_daily_rank": """
 WITH d AS (

@@ -180,3 +180,31 @@ def test_simhash_neardup_exact_vs_brute(spark):
     }
     got = {(r["a"], r["b"]) for r in simhash_neardup_pairs(df).collect()}
     assert got == want
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: latest right.ts <= left.ts per key;
+    equal timestamps match (inclusive); no prior right row -> nulls."""
+    import datetime as dt
+
+    from semantic_pdf_search_engine_spark.operators.temporal import asof_join
+
+    def T(m):
+        return dt.datetime(2026, 1, 1, 12, m, tzinfo=dt.timezone.utc)
+
+    left = spark.createDataFrame(
+        [(1, 7, T(10)), (2, 7, T(20)), (3, 7, T(5)), (4, 8, T(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 7, T(10), 1.5), (101, 7, T(15), 2.5), (102, 9, T(1), 9.9)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    rows = {
+        r["event_id"]: (r["r_event_id"], r["r_value"])
+        for r in asof_join(left, right).collect()
+    }
+    assert rows[1] == (100, 1.5)   # equal ts -> inclusive match
+    assert rows[2] == (101, 2.5)   # latest of the two priors
+    assert rows[3] == (None, None) # nothing at or before 12:05
+    assert rows[4] == (None, None) # user 8 has no right rows at all
