@@ -68,3 +68,48 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    window_sec: int = 300,
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+) -> DataFrame:
+    """All (left, right) pairs in the same `by` group with
+    |right.ts − left.ts| ≤ window_sec — a RANGE join done scale-safe.
+
+    A naive theta join (l.user = r.user AND abs(Δt) ≤ w) degenerates to
+    a per-key cartesian product in Spark (BroadcastNestedLoop at best).
+    The standard fix: bin timestamps to window-sized buckets and
+    equality-join on (key, bin) with the right side EXPLODED to its
+    bin ± 1 — every qualifying pair shares one of those bins, so the
+    join is a plain hash join with ≤3× right-side duplication, then an
+    exact |Δt| filter and no dedup needed (bins partition pairs:
+    exactly one right-bin copy matches each left bin)."""
+    lbin = (F.unix_timestamp(F.col(ts_col)) / window_sec).cast("long")
+    l = left.withColumn("_bin", lbin)
+    r = right.select(
+        *by,
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+        F.explode(
+            F.array(
+                (F.unix_timestamp(F.col(ts_col)) / window_sec).cast("long") - 1,
+                (F.unix_timestamp(F.col(ts_col)) / window_sec).cast("long"),
+                (F.unix_timestamp(F.col(ts_col)) / window_sec).cast("long") + 1,
+            )
+        ).alias("_bin"),
+    )
+    return (
+        l.join(r, [*by, "_bin"])
+        .filter(
+            F.abs(
+                F.unix_timestamp(F.col("_rts")) - F.unix_timestamp(F.col(ts_col))
+            )
+            <= window_sec
+        )
+        .drop("_bin", "_rts")
+    )

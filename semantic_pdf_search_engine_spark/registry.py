@@ -494,6 +494,72 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks paired with same-user purchases within ±5
+    minutes — binned equality join (no per-key cartesian), exact |dt|
+    filter; hard oracle = the plain inequality join in DuckDB."""
+    from semantic_pdf_search_engine_spark.operators.temporal import range_join_binned
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = range_join_binned(clicks, purchases, window_sec=300)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("r_event_id").alias("p_event_id"),
+        F.round("r_value", 6).alias("p_value"),
+    )
+
+
+KMV_K = 64
+
+
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCH with a deterministic twin: k-minimum-values
+    over md5(user_id). The k-th smallest 32-bit hash prefix v_k gives
+    estimate = (k-1)·2^32/v_k (classic KMV); when a group has fewer
+    than k distinct members the sketch is exact by construction. md5 is
+    shared with DuckDB, so unlike HLL sketches the ESTIMATE itself is
+    byte-reproducible → hard oracle. At 100 TB this is one groupBy
+    (map-side partial top-k of hashes) — the shuffle carries k hashes
+    per group, never the distinct set."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select("event_type", v.alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("v").asc())
+    ranked = du.withColumn("rk", F.row_number().over(w))
+    stats = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n_true"))
+    kth = ranked.filter(F.col("rk") == KMV_K).select(
+        "event_type", F.col("v").alias("vk")
+    )
+    return (
+        stats.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_true",
+            F.round(
+                F.when(
+                    F.col("vk").isNotNull(),
+                    F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / F.col("vk"),
+                ).otherwise(F.col("n_true").cast("double")),
+                6,
+            ).alias("kmv_estimate"),
+        )
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: bytes → Arrow UDF → typed metadata
     (decode step stubbed; see operators/multimodal.py)."""
@@ -668,6 +734,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_rank": q_events_daily_rank,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
+    "distinct_kmv": q_distinct_kmv,
     "events_percentiles": q_events_percentiles,
 }
 
@@ -970,6 +1038,15 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
 ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
+        "events_range_join": """
+SELECT l.event_id, l.user_id,
+       r.event_id AS p_event_id,
+       ROUND(r.value, 6) AS p_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND abs(epoch(r.ts) - epoch(l.ts)) <= 300
+""",
         "events_rollup": """
 SELECT COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
        COALESCE(event_type, 'ALL') AS event_type,
@@ -1049,6 +1126,30 @@ SELECT doc_id, width, height,
        CAST(CASE WHEN ls > 224 THEN floor(height * 224 / ls) ELSE height END AS INT) AS out_h,
        ROUND(CASE WHEN ls > 224 THEN 224.0 / ls ELSE 1.0 END, 6) AS scale
 FROM m
+"""
+
+ORACLE_SQL["distinct_kmv"] = f"""
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events
+),
+h AS (
+    SELECT event_type,
+           ({_byte("md5(CAST(user_id AS VARCHAR))", 0)}::BIGINT * 16777216
+            + {_byte("md5(CAST(user_id AS VARCHAR))", 1)} * 65536
+            + {_byte("md5(CAST(user_id AS VARCHAR))", 2)} * 256
+            + {_byte("md5(CAST(user_id AS VARCHAR))", 3)}) AS v
+    FROM du
+),
+r AS (
+    SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v ASC) AS rk
+    FROM h
+),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true FROM h GROUP BY event_type),
+kth AS (SELECT event_type, v AS vk FROM r WHERE rk = 64)
+SELECT s.event_type, s.n_true,
+       ROUND(CASE WHEN kth.vk IS NOT NULL THEN 63.0 * 4294967296.0 / kth.vk
+                  ELSE CAST(s.n_true AS DOUBLE) END, 6) AS kmv_estimate
+FROM s LEFT JOIN kth USING (event_type)
 """
 
 ORACLE_SQL["token_stats"] = f"""

@@ -208,3 +208,26 @@ def test_asof_join_semantics(spark):
     assert rows[2] == (101, 2.5)   # latest of the two priors
     assert rows[3] == (None, None) # nothing at or before 12:05
     assert rows[4] == (None, None) # user 8 has no right rows at all
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV estimator: exact below k, within ~3/sqrt(k) relative error
+    above k (k=64 → 37.5% bound; typical ~12%)."""
+    from semantic_pdf_search_engine_spark.registry import q_distinct_kmv
+
+    # build a fake events table with controlled distinct counts
+    rows = []
+    for et, n in [("tiny", 20), ("mid", 500), ("big", 3000)]:
+        rows += [(et, u) for u in range(n)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    import tempfile
+    d = tempfile.mkdtemp()
+    df.selectExpr(
+        "cast(1 as long) event_id", "timestamp('2026-01-01') ts",
+        "user_id", "event_type", "cast(1.0 as double) value", "'x' props"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["event_type"]: r for r in q_distinct_kmv(spark, d).collect()}
+    assert got["tiny"]["kmv_estimate"] == 20.0  # below k → exact
+    for et, n in [("mid", 500), ("big", 3000)]:
+        est = got[et]["kmv_estimate"]
+        assert abs(est - n) / n < 3 / (64 ** 0.5), (et, est, n)
