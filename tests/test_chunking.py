@@ -145,3 +145,32 @@ def test_has_complete_sentence(spark, text, want):
     df = spark.createDataFrame([(text,)], "t string")
     got = df.select(has_complete_sentence(F.col("t")).alias("h")).collect()[0]["h"]
     assert got == want, text
+
+
+def test_fixed_chunk_roundtrip_property(spark):
+    """Hypothesis: for arbitrary ASCII text and chunk sizes, the fixed
+    chunker partitions the text exactly (reassembly, lengths, count)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from semantic_pdf_search_engine_spark.operators.chunking import chunk_text_fixed
+    from pyspark.sql import functions as F
+
+    # evaluate the Column expr via a single-row frame, property-driven
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=400),
+        st.integers(min_value=1, max_value=97),
+    )
+    def prop(text, size):
+        df = spark.createDataFrame([(text,)], "t string")
+        chunks = df.select(chunk_text_fixed(F.col("t"), size).alias("c")).first()["c"]
+        assert "".join(chunks) == text
+        assert all(len(c) == size for c in chunks[:-1])
+        if text:
+            assert 1 <= len(chunks[-1]) <= size
+            assert len(chunks) == -(-len(text) // size)
+        else:
+            assert chunks == []
+
+    prop()
