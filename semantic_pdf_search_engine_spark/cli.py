@@ -29,7 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build-index", help="build/resume the inverted index")
-    b.add_argument("--input", required=True, help="transcripts parquet path")
+    b.add_argument("--input", required=True, help="transcripts path")
+    b.add_argument("--format", default="parquet", choices=["parquet", "jsonl", "csv"])
     b.add_argument("--index", required=True, help="index output dir")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--stripe-docs", type=int, default=None)
@@ -67,8 +68,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "build-index":
         from semantic_pdf_search_engine_spark.sources.index_store import build_index
+        from semantic_pdf_search_engine_spark.sources.ingest import read_transcripts
 
-        df = spark.read.parquet(args.input)
+        df, rejected = read_transcripts(spark, args.input, fmt=args.format)
+        n_rejected = rejected.count()
         t0 = time.time()
         idx = build_index(
             spark,
@@ -81,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {
                     "n_docs": idx.n_docs,
+                    "n_rejected_rows": n_rejected,
                     "avgdl": round(idx.avgdl, 3),
                     "wall_sec": round(time.time() - t0, 2),
                 }
