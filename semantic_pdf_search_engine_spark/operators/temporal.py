@@ -1,4 +1,4 @@
-"""Temporal joins over event streams — the as-of join.
+"""Temporal joins over event streams — as-of join and range join.
 
 `asof_join` matches every left row to the LATEST right row with
 right.ts ≤ left.ts within the same key — the canonical hypertable /
@@ -10,15 +10,21 @@ composition —
 
   1. tag right rows _side=0, left rows _side=1, union;
   2. ONE shuffle: window partitionBy(key) orderBy(ts, _side, tiebreak);
-  3. last(right payload, ignorenulls=True) over rows UNBOUNDED
-     PRECEDING..CURRENT carries the latest right value forward;
-  4. keep left rows.
+  3. last(right payload STRUCT, ignorenulls=True) over rows UNBOUNDED
+     PRECEDING..CURRENT carries the latest right ROW forward — the
+     payload travels as one struct so a NULL field inside the matched
+     row stays NULL (per-column carries would backfill it from an
+     older row, fabricating a row that never existed);
+  4. keep left rows, unpack the struct.
 
 At equal timestamps the right row sorts FIRST (_side 0 < 1), giving the
-inclusive (≥) semantics ASOF uses; among duplicate right timestamps the
-highest tiebreak column wins (deterministic). Cost: one shuffle+sort of
-|L|+|R| rows per key — the same asymptotics as a sort-merge join, with
-no range-explosion (a naive range join would fan out |L|×|matching R|).
+inclusive (≥) semantics ASOF uses. Duplicate right (key, ts) rows
+resolve DETERMINISTICALLY to the highest tiebreak value (DuckDB ASOF
+leaves the pick unspecified — oracle parity needs unique (key, ts) on
+the right, or the same dedup applied on both sides). Right rows with a
+NULL key are excluded (SQL join equality never matches NULL; the window
+partitioner would). Cost: one shuffle+sort of |L|+|R| rows per key —
+sort-merge-join asymptotics, no range fan-out.
 """
 
 from __future__ import annotations
@@ -40,33 +46,39 @@ def asof_join(
     right.ts ≤ left.ts in the same `by` group (nulls where no right row
     precedes). `tiebreak` orders duplicate right timestamps
     deterministically (defaults to the first right_cols entry)."""
+    collisions = [c for c in left.columns if c.startswith("r_") or c == "_payload"]
+    if collisions:
+        raise ValueError(
+            f"left columns {collisions} collide with the carried right "
+            "payload names (r_*/_payload); rename them first"
+        )
     tiebreak = tiebreak or right_cols[0]
     l = left.withColumn("_side", F.lit(1))
-    for c in right_cols:
-        l = l.withColumn(f"r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r = right.select(
+    r = right
+    for key in by:
+        r = r.filter(F.col(key).isNotNull())  # SQL equality: NULL never matches
+    r = r.select(
         *by,
         ts_col,
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(f"r_{c}") for c in right_cols]).alias("_payload"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col(f"r_{tiebreak}").asc_nulls_first())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").asc(),
+            F.col(f"_payload.r_{tiebreak}").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # all carries in ONE projection against the original columns (a
-    # sequential withColumn would re-window over already-carried values)
-    keep = [c for c in u.columns if c != "_side" and not c.startswith("r_")]
-    carried = [
-        F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
-        for c in right_cols
-    ]
+    keep = [c for c in left.columns]
+    carried = F.last("_payload", ignorenulls=True).over(w).alias("_payload")
     return (
-        u.select(*keep, "_side", *carried)
+        u.select(*keep, "_side", carried)
         .filter(F.col("_side") == 1)
-        .drop("_side")
+        .select(*keep, *[F.col(f"_payload.r_{c}").alias(f"r_{c}") for c in right_cols])
     )
 
 
@@ -88,28 +100,30 @@ def range_join_binned(
     bin ± 1 — every qualifying pair shares one of those bins, so the
     join is a plain hash join with ≤3× right-side duplication, then an
     exact |Δt| filter and no dedup needed (bins partition pairs:
-    exactly one right-bin copy matches each left bin)."""
-    lbin = (F.unix_timestamp(F.col(ts_col)) / window_sec).cast("long")
-    l = left.withColumn("_bin", lbin)
+    exactly one right-bin copy matches each left bin).
+
+    Time arithmetic is FRACTIONAL epoch seconds (timestamp cast to
+    double — microsecond precision), matching DuckDB's epoch(); a
+    whole-second floor (unix_timestamp) would admit pairs whose true
+    |Δt| lies in (window, window+1) and break both the documented
+    contract and the oracle."""
+    # NTZ timestamps cannot cast to double directly; route through
+    # TIMESTAMP (session tz pinned UTC) — same instant DuckDB's naive
+    # epoch() sees, with microsecond fraction preserved
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    epoch_l = _epoch(ts_col)
+    l = left.withColumn("_bin", F.floor(epoch_l / window_sec))
+    rbin = F.floor(_epoch(ts_col) / window_sec)
     r = right.select(
         *by,
-        F.col(ts_col).alias("_rts"),
+        _epoch(ts_col).alias("_repoch"),
         *[F.col(c).alias(f"r_{c}") for c in right_cols],
-        F.explode(
-            F.array(
-                (F.unix_timestamp(F.col(ts_col)) / window_sec).cast("long") - 1,
-                (F.unix_timestamp(F.col(ts_col)) / window_sec).cast("long"),
-                (F.unix_timestamp(F.col(ts_col)) / window_sec).cast("long") + 1,
-            )
-        ).alias("_bin"),
+        F.explode(F.array(rbin - 1, rbin, rbin + 1)).alias("_bin"),
     )
     return (
         l.join(r, [*by, "_bin"])
-        .filter(
-            F.abs(
-                F.unix_timestamp(F.col("_rts")) - F.unix_timestamp(F.col(ts_col))
-            )
-            <= window_sec
-        )
-        .drop("_bin", "_rts")
+        .filter(F.abs(F.col("_repoch") - epoch_l) <= window_sec)
+        .drop("_bin", "_repoch")
     )

@@ -522,15 +522,20 @@ KMV_K = 64
 def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count SKETCH with a deterministic twin: k-minimum-values
     over md5(user_id). The k-th smallest 32-bit hash prefix v_k gives
-    estimate = (k-1)·2^32/v_k (classic KMV); when a group has fewer
-    than k distinct members the sketch is exact by construction. md5 is
-    shared with DuckDB, so unlike HLL sketches the ESTIMATE itself is
-    byte-reproducible → hard oracle. At 100 TB this is one groupBy
-    (map-side partial top-k of hashes) — the shuffle carries k hashes
-    per group, never the distinct set."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql.window import Window
+    estimate = (k-1)·2^32/v_k (classic KMV); below k distinct members
+    the sketch is exact. md5 is shared with DuckDB, so unlike HLL
+    sketches the ESTIMATE itself is byte-reproducible → hard oracle.
 
+    Scale shape — genuine bottom-k, never a per-key global sort:
+    phase 1 keeps the k smallest hashes per key WITHIN each partition
+    (Arrow pass, map-side); phase 2 aggregates the ≤ k×n_partitions
+    survivors per key (the global k smallest each survive their own
+    partition's cut, so the result is exact). `n_true` is a
+    VERIFICATION column for the demo (an exact distinct count a
+    production sketch would not compute)."""
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     h = F.md5(F.col("user_id").cast("string").cast("binary"))
     v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     du = (
@@ -538,25 +543,33 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("event_type", v.alias("v"))
     )
-    w = Window.partitionBy("event_type").orderBy(F.col("v").asc())
-    ranked = du.withColumn("rk", F.row_number().over(w))
-    stats = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n_true"))
-    kth = ranked.filter(F.col("rk") == KMV_K).select(
-        "event_type", F.col("v").alias("vk")
+
+    def bottom_k(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values("v", kind="mergesort")
+                    .groupby("event_type", sort=False)
+                    .head(KMV_K)
+                )
+
+    partial = du.mapInPandas(bottom_k, schema="event_type string, v long")
+    sketch = partial.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_list("v")), 1, KMV_K).alias("vs")
     )
-    return (
-        stats.join(kth, "event_type", "left")
-        .select(
-            "event_type",
-            "n_true",
-            F.round(
-                F.when(
-                    F.col("vk").isNotNull(),
-                    F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / F.col("vk"),
-                ).otherwise(F.col("n_true").cast("double")),
-                6,
-            ).alias("kmv_estimate"),
-        )
+    stats = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n_true"))
+    return stats.join(sketch, "event_type").select(
+        "event_type",
+        "n_true",
+        F.round(
+            F.when(
+                F.size("vs") >= KMV_K,
+                F.lit(float(KMV_K - 1))
+                * F.lit(4294967296.0)
+                / F.element_at("vs", KMV_K),
+            ).otherwise(F.col("n_true").cast("double")),
+            6,
+        ).alias("kmv_estimate"),
     )
 
 

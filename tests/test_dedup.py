@@ -231,3 +231,61 @@ def test_kmv_estimate_accuracy(spark):
     for et, n in [("mid", 500), ("big", 3000)]:
         est = got[et]["kmv_estimate"]
         assert abs(est - n) / n < 3 / (64 ** 0.5), (et, est, n)
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A NULL field inside the matched right row must stay NULL — the
+    payload is carried as one struct, never mixed across right rows."""
+    import datetime as dt
+
+    from semantic_pdf_search_engine_spark.operators.temporal import asof_join
+
+    def T(m):
+        return dt.datetime(2026, 1, 1, 12, m, tzinfo=dt.timezone.utc)
+
+    left = spark.createDataFrame(
+        [(1, 7, T(20))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 7, T(10), 5.0), (101, 7, T(15), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row["r_event_id"] == 101 and row["r_value"] is None
+
+    # NULL-key right rows never match (SQL equality semantics)
+    right2 = spark.createDataFrame(
+        [(100, None, T(10), 5.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row2 = asof_join(left, right2).collect()[0]
+    assert row2["r_event_id"] is None
+
+    # collision guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left.withColumnRenamed("event_id", "r_score"), right)
+
+
+def test_range_join_subsecond_boundary(spark):
+    """Fractional-second deltas: a pair at 300.5s must be EXCLUDED from
+    a 300s window (whole-second flooring would admit it)."""
+    import datetime as dt
+
+    from semantic_pdf_search_engine_spark.operators.temporal import range_join_binned
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0, 0, tzinfo=dt.timezone.utc)
+    left = spark.createDataFrame(
+        [(1, 7, base)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 7, base + dt.timedelta(seconds=300, microseconds=500_000), 1.0),
+            (101, 7, base + dt.timedelta(seconds=299, microseconds=999_999), 2.0),
+            (102, 7, base - dt.timedelta(seconds=300), 3.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {r["r_event_id"] for r in range_join_binned(left, right, window_sec=300).collect()}
+    assert got == {101, 102}  # 300.5s excluded; 299.999999s and -300s in
