@@ -226,6 +226,14 @@ def build_index(
                 "stage-level resume would rebuild with pre-append stats — "
                 "rebuild with resume=False or keep using append_to_index"
             )
+    if not resume:
+        # full rebuild: stale append/compact lineage no longer describes
+        # this index; dropping it re-enables stage-level resume later
+        m.data["stages"] = {
+            k: v
+            for k, v in m.data["stages"].items()
+            if not (k.startswith("append_") or k.startswith("compact_"))
+        }
 
     # Row counts and Σdl come from Observations attached to the SAME
     # action that writes each stage — a post-write .count() would

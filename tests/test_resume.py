@@ -89,3 +89,39 @@ def test_single_turn_build_and_query(spark, tmp_path):
     # scoped to the only conversation
     assert [r["doc_id"] for r in score_topk(idx, "single", 5, conv_id="convX").collect()] == [0]
     assert score_topk(idx, "single", 5, conv_id="convNOPE").count() == 0
+
+
+def test_resume_refused_on_appended_index(spark, tmp_path):
+    """Stage-level resume into an index that has taken appends is
+    refused (the docfreq versioning always invalidates the recorded
+    base stage, and rebuilding any stage would use pre-append stats);
+    load_index and append_to_index remain the supported paths, and an
+    explicit resume=False rebuild still works."""
+    import pytest
+
+    from semantic_pdf_search_engine_spark.fixtures import make_transcripts
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        append_to_index,
+        build_index,
+        load_index,
+    )
+
+    pdf = make_transcripts(n_convs=12)
+    a = pdf[pdf["conv_id"] < "conv00000008"].reset_index(drop=True)
+    b = pdf[pdf["conv_id"] >= "conv00000008"].reset_index(drop=True)
+    d = str(tmp_path / "ra")
+    build_index(spark, spark.createDataFrame(a), d, stripe_docs=64)
+    idx = append_to_index(spark, spark.createDataFrame(b), d)
+    n_after_append = idx.n_docs
+
+    with pytest.raises(ValueError, match="incremental appends"):
+        build_index(spark, spark.createDataFrame(a), d, stripe_docs=64)
+
+    # the healthy index is untouched by the refused call
+    assert load_index(spark, d).n_docs == n_after_append
+
+    # explicit full rebuild is still allowed
+    idx2 = build_index(
+        spark, spark.createDataFrame(a), d, stripe_docs=64, resume=False
+    )
+    assert idx2.n_docs == len(a)
