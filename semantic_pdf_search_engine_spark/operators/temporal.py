@@ -46,17 +46,24 @@ def asof_join(
     right.ts ≤ left.ts in the same `by` group (nulls where no right row
     precedes). `tiebreak` orders duplicate right timestamps
     deterministically (defaults to the first right_cols entry)."""
-    collisions = [c for c in left.columns if c.startswith("r_") or c == "_payload"]
+    reserved = {"_payload", "_side"}
+    collisions = [
+        c for c in left.columns if c.startswith("r_") or c in reserved
+    ]
     if collisions:
         raise ValueError(
-            f"left columns {collisions} collide with the carried right "
-            "payload names (r_*/_payload); rename them first"
+            f"left columns {collisions} collide with reserved names "
+            "(r_*/_payload/_side); rename them first"
         )
     tiebreak = tiebreak or right_cols[0]
     l = left.withColumn("_side", F.lit(1))
-    r = right
+    # SQL comparison semantics: a NULL key never matches (the window
+    # partitioner would group them) and a NULL right ts never satisfies
+    # right.ts <= left.ts (asc-null-first ordering would carry it as a
+    # phantom match for every early left row)
+    r = right.filter(F.col(ts_col).isNotNull())
     for key in by:
-        r = r.filter(F.col(key).isNotNull())  # SQL equality: NULL never matches
+        r = r.filter(F.col(key).isNotNull())
     r = r.select(
         *by,
         ts_col,
@@ -107,6 +114,15 @@ def range_join_binned(
     whole-second floor (unix_timestamp) would admit pairs whose true
     |Δt| lies in (window, window+1) and break both the documented
     contract and the oracle."""
+    reserved = {"_bin", "_repoch"}
+    collisions = [
+        c for c in left.columns if c.startswith("r_") or c in reserved
+    ]
+    if collisions:
+        raise ValueError(
+            f"left columns {collisions} collide with reserved names "
+            "(r_*/_bin/_repoch); rename them first"
+        )
     # NTZ timestamps cannot cast to double directly; route through
     # TIMESTAMP (session tz pinned UTC) — same instant DuckDB's naive
     # epoch() sees, with microsecond fraction preserved

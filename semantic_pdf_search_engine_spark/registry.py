@@ -527,14 +527,12 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches the ESTIMATE itself is byte-reproducible → hard oracle.
 
     Scale shape — genuine bottom-k, never a per-key global sort:
-    phase 1 keeps the k smallest hashes per key WITHIN each partition
-    (Arrow pass, map-side); phase 2 aggregates the ≤ k×n_partitions
-    survivors per key (the global k smallest each survive their own
-    partition's cut, so the result is exact). `n_true` is a
-    VERIFICATION column for the demo (an exact distinct count a
-    production sketch would not compute)."""
-    import pandas as pd
-
+    phase 1 folds each partition's Arrow batches into the k smallest
+    hashes per key (map-side — survivors are ≤ k×n_partitions per key,
+    bounded state per task); phase 2 aggregates those survivors (the
+    global k smallest each survive their own partition's cut, so the
+    result is exact). `n_true` is a VERIFICATION column for the demo
+    (an exact distinct count a production sketch would not compute)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     h = F.md5(F.col("user_id").cast("string").cast("binary"))
     v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
@@ -545,20 +543,29 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bottom_k(batches):
+        import pandas as pd
+
+        acc = None
         for pdf in batches:
-            if len(pdf):
-                yield (
-                    pdf.sort_values("v", kind="mergesort")
-                    .groupby("event_type", sort=False)
-                    .head(KMV_K)
-                )
+            if not len(pdf):
+                continue
+            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = (
+                both.sort_values("v", kind="mergesort")
+                .groupby("event_type", sort=False, dropna=False)
+                .head(KMV_K)
+            )
+        if acc is not None and len(acc):
+            yield acc
 
     partial = du.mapInPandas(bottom_k, schema="event_type string, v long")
     sketch = partial.groupBy("event_type").agg(
         F.slice(F.sort_array(F.collect_list("v")), 1, KMV_K).alias("vs")
     )
     stats = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n_true"))
-    return stats.join(sketch, "event_type").select(
+    # LEFT join: a NULL event_type group has no sketch row (SQL equality
+    # never matches NULL) but must still appear with the exact fallback
+    return stats.join(sketch, "event_type", "left").select(
         "event_type",
         "n_true",
         F.round(

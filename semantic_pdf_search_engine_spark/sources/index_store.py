@@ -227,13 +227,15 @@ def build_index(
                 "rebuild with resume=False or keep using append_to_index"
             )
     if not resume:
-        # full rebuild: stale append/compact lineage no longer describes
-        # this index; dropping it re-enables stage-level resume later
-        m.data["stages"] = {
-            k: v
-            for k, v in m.data["stages"].items()
-            if not (k.startswith("append_") or k.startswith("compact_"))
-        }
+        # full rebuild: NO prior lineage describes this index any more.
+        # Dropping only the append markers would be a trap: stage 1's
+        # record() persists the cleared manifest, so an INTERRUPTED
+        # rebuild followed by resume=True would reuse stale tf/postings
+        # entries (whose files still exist — appends only add files)
+        # against the new docs table. Clearing everything makes the
+        # interrupted-rebuild resume start from stage 1, which is the
+        # only sound interpretation.
+        m.data["stages"] = {}
 
     # Row counts and Σdl come from Observations attached to the SAME
     # action that writes each stage — a post-write .count() would
