@@ -21,10 +21,33 @@ reference's retrieval granularity on long turns (tool dumps):
                        pinned by the reference's own test
                        (/root/reference/src/chunk.rs:562-605).
 
-Sentence segmentation divergence, documented: the reference uses
-UAX#29 `unicode_sentences` (/root/reference/src/chunk.rs:382-384); this
-module splits after [.!?]+ followed by whitespace — identical on the
-ASCII transcript corpus, simpler at 100 TB (no ICU on executors).
+Documented divergences from the reference (deliberate, not oversights):
+
+1. Sentence segmentation: the reference uses UAX#29
+   `unicode_sentences` (/root/reference/src/chunk.rs:382-384); this
+   module splits after [.!?]+ followed by whitespace — identical on
+   the ASCII transcript corpus, simpler at 100 TB (no ICU on
+   executors).
+2. No PDF-artifact pre-pass: smart_chunk_text first runs
+   clean_pdf_text_robust (line-level header removal, TOC-leader and
+   repeated-punctuation collapse, chunk.rs:522) before splitting. The
+   transcript corpus has no PDF extraction artifacts, so smart_chunks
+   operates on the raw turn text; users chunking PDF-derived text
+   should compose functions.normalize.normalize_expr /
+   quality.remove_section_headers upstream (both implemented and
+   oracle-checked separately).
+3. Overlap-carry joint: after a flush the reference seeds the next
+   chunk with `join(" ")` of the last two sentences and then
+   concatenates the next sentence DIRECTLY (no separator —
+   chunk.rs:543-551 push_str with no space), producing
+   "…carry.Next sentence…". smart_chunk_py inserts the space. Same
+   packing lengths ±1 char; the reference's missing separator reads
+   as an artifact of its string assembly, not a semantic choice.
+4. chunk_text_fixed cuts at EXACT `size`-char offsets; the reference's
+   TextSplitter::new(500) (chunk.rs:34-60) prefers semantic
+   boundaries ≤500 chars (never mid-word). Fixed offsets keep the
+   operator a pure Column expression with an exact SQL twin; boundary-
+   aware packing is what smart_chunks provides.
 
 Scale shape: both chunkers are NARROW ops (one Arrow/codegen pass, no
 shuffle); explode multiplies rows ~len/size; downstream consumers
@@ -126,11 +149,13 @@ def smart_chunk_py(
     chunk_size: int = SMART_CHUNK_CHARS,
     skip_headers: bool = True,
 ) -> list[str]:
-    """Sentence packing with 2-sentence overlap carry — the exact fold
-    of smart_chunk_text (/root/reference/src/chunk.rs:521-560): append
+    """Sentence packing with 2-sentence overlap carry — the fold of
+    smart_chunk_text (/root/reference/src/chunk.rs:521-560): append
     sentences (header-like ones skipped) until the chunk reaches
     chunk_size, flush it trimmed, seed the next chunk with the last two
-    buffered sentences, clear the buffer."""
+    buffered sentences, clear the buffer. Divergences from the
+    reference (no clean_pdf_text_robust pre-pass; a space after the
+    overlap carry) are documented in the module docstring."""
     chunks: list[str] = []
     current = ""
     buffer: list[str] = []

@@ -325,33 +325,7 @@ def band_assign(
     return emb.withColumn(out_col, _keys(F.col(vec_col)))
 
 
-def cosine_pairs_exact(
-    pairs: DataFrame,
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(a, b) candidate pairs → (a, b, sim): join the vectors back by
-    id (candidates carry ids only — vectors are NOT duplicated through
-    the band explode) and compute exact cosine in one Arrow batch pass."""
-    import pandas as pd
-
-    def _cos(va, vb):
-        A = np.array(va.tolist(), dtype=np.float64)
-        Bm = np.array(vb.tolist(), dtype=np.float64)
-        num = (A * Bm).sum(axis=1)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(Bm, axis=1)
-        return pd.Series(np.round(num / np.maximum(den, 1e-300), 6))
-
-    _cos = F.pandas_udf(_cos, "double")
-
-    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        pairs.join(va, "a")
-        .join(vb, "b")
-        .select("a", "b", _cos(F.col("va"), F.col("vb")).alias("sim"))
-    )
+DEFAULT_MAX_BAND_DF = 100_000
 
 
 def embedding_neardup_lsh_pairs(
@@ -362,7 +336,7 @@ def embedding_neardup_lsh_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_band_df: int | None = None,
+    max_band_df: int | None = DEFAULT_MAX_BAND_DF,
 ) -> DataFrame:
     """(a, b, sim) near-dup pairs WITHOUT an all-pairs join — the scale
     path replacing `embedding_neardup_pairs`' bounded cartesian:
@@ -383,11 +357,20 @@ def embedding_neardup_lsh_pairs(
     → 1 − (1−p²)^16 ≈ 0.999); for production near-dup thresholds
     (0.9+) use r=8, b=4 for ~40× candidate pruning at recall ≥ 0.999.
     `max_band_df` caps hot-bucket fanout (skew guard, same shape as
-    ngram_jaccard's hot-shingle cutoff): band keys appearing in more
-    than max_band_df vectors are dropped from pair GENERATION — an
-    explicit recall trade documented here, never silent. Buckets larger
-    than one Arrow batch are scored in row blocks against the full
-    bucket (memory stays O(block × bucket), not bucket²).
+    ngram_jaccard's hot-shingle cutoff) and is ON BY DEFAULT
+    (DEFAULT_MAX_BAND_DF = 100k): a near-duplicate-heavy corpus —
+    exactly where this operator runs — concentrates identical vectors
+    into one band key, and without the cap that key's whole membership
+    lands in a single applyInPandas group with O(bucket²) scoring work
+    (the block loop bounds memory, not compute). Band keys appearing
+    in more than max_band_df vectors are dropped from pair GENERATION
+    — an explicit recall trade, never silent: dropped keys and their
+    total row count are logged (module logger) driver-side. The hot-key
+    list is bounded by construction (≤ b·n/max_band_df keys), so it is
+    collected and pushed as a literal anti-filter instead of a
+    broadcast join. `max_band_df=None` disables the guard. Buckets
+    larger than one Arrow batch are scored in row blocks against the
+    full bucket (memory stays O(block × bucket), not bucket²).
 
     Reference analog: Qdrant's vector index as the pair-pruning
     structure (/root/reference/src/qdrant.rs:13-34). Approximate by
@@ -404,8 +387,24 @@ def embedding_neardup_lsh_pairs(
         F.col(id_col), F.col(vec_col), F.explode("_band_keys").alias("bk")
     )
     if max_band_df is not None:
-        hot = keyed.groupBy("bk").count().filter(F.col("count") > max_band_df)
-        keyed = keyed.join(F.broadcast(hot.select("bk")), "bk", "left_anti")
+        hot = (
+            keyed.groupBy("bk")
+            .count()
+            .filter(F.col("count") > max_band_df)
+            .collect()
+        )
+        if hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_neardup_lsh_pairs: dropping %d hot band key(s) "
+                "covering %d (vector, band) rows (max_band_df=%d) — pairs "
+                "inside those buckets are not generated",
+                len(hot),
+                sum(r["count"] for r in hot),
+                max_band_df,
+            )
+            keyed = keyed.filter(~F.col("bk").isin([r["bk"] for r in hot]))
 
     thr = float(threshold)
 
@@ -456,6 +455,9 @@ def embedding_neardup_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+MAX_BROADCAST_QUERIES = 100_000  # checked contract of the broadcast paths
+
+
 def knn_join_brute(
     emb: DataFrame,
     queries: DataFrame,
@@ -464,6 +466,7 @@ def knn_join_brute(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    max_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """(q_id, vec_id, sim, rnk): exact top-k corpus neighbors for EVERY
     query row — the batch shape of brute_cosine_topk (one query table,
@@ -477,15 +480,28 @@ def knn_join_brute(
     Q×2k×n_batches survivors are then RE-SCORED with the pinned JVM
     cosine_expr + round(6) — the exact float path every other
     hard-oracle cosine query pairs with the DuckDB twin — and a window
-    finishes (sim DESC, corpus id ASC). The matmul only SELECTS
-    candidates (with 2k overfetch absorbing rounding-order jitter at
-    the cut); every emitted sim comes from the oracle-pinned
-    expression."""
+    finishes (sim DESC, corpus id ASC). Per-batch candidates are
+    SELECTED under the final sort key — stable argsort on
+    (-round(sim, 6), id asc) — so top-k containment is provable, with
+    the 2k overfetch left only to absorb numpy-vs-JVM ulp differences
+    exactly at a rounding boundary.
+
+    Contract: the query side must fit on the driver (≤ `max_queries`
+    rows — checked, raises instead of a silent driver OOM). For a
+    corpus-sized query table use the distributed bucket-join form,
+    sources/ann_store.knn_join_lsh_dist / knn_join_ivf_dist."""
     import pandas as pd
     from pyspark.sql.window import Window
 
     spark = emb.sparkSession
-    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    q_rows = queries.select(q_id_col, q_vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_join_brute broadcasts the query set to every corpus "
+            f"partition; query table exceeds max_queries={max_queries} — "
+            "use ann_store.knn_join_lsh_dist/knn_join_ivf_dist (query side "
+            "stays a DataFrame, bucket-joined to the materialized store)"
+        )
     if not q_rows:
         return spark.createDataFrame(
             [], f"{q_id_col} long, {id_col} long, sim double, rnk int"
@@ -504,9 +520,15 @@ def knn_join_brute(
             ids, X = ids[order], X[order]
             sims = Qn @ X.T  # (Q, batch)
             take = min(overfetch, ids.size)
-            # per query: top candidates by (sim desc, id asc); ids
-            # ascending, so a stable mergesort on -sim ties by id
-            part = np.argsort(-sims, axis=1, kind="mergesort")[:, :take]
+            # per query: top candidates under the FINAL sort key
+            # (round(sim,6) desc, id asc) — ids ascending + stable
+            # mergesort on the rounded negated sims ≡ np.lexsort((ids,
+            # -round(sims,6))): containment of the JVM-rescored top-k
+            # is provable, not heuristic (overfetch only covers the
+            # numpy-vs-JVM ulp window at a rounding boundary)
+            part = np.argsort(-np.round(sims, 6), axis=1, kind="mergesort")[
+                :, :take
+            ]
             qi = np.repeat(q_ids, take)
             yield pd.DataFrame(
                 {q_id_col: qi, id_col: ids[part].ravel()}

@@ -359,8 +359,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH near-dup pairs over the FULL embeddings table — no
     id bound, no cartesian join (candidates come from the band-bucket
-    equality join). Approximate by construction → rows-only check;
-    recall ≥ 0.95 vs the exact spine at threshold 0.3 is asserted in
+    equality join), hot-bucket skew guard ON at its default
+    (max_band_df=100k: a band key shared by more vectors is dropped
+    from pair generation with a logged count — see
+    operators/similarity.embedding_neardup_lsh_pairs). Approximate by
+    construction → rows-only check; recall ≥ 0.95 vs the exact spine
+    at threshold 0.3 and the skew-guard behavior are asserted in
     tests/test_similarity.py."""
     from semantic_pdf_search_engine_spark.operators.similarity import (
         embedding_neardup_lsh_pairs,
@@ -475,15 +479,29 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior-or-equal purchase (operators/temporal.asof_join — union-tag +
     window, one shuffle, no range fan-out). Hard oracle: DuckDB native
     ASOF LEFT JOIN. No-match sentinels (-1 / 0.0) keep the hash compare
-    null-free on both sides."""
+    null-free on both sides.
+
+    The right side is deduplicated to ONE purchase per (user_id, ts)
+    (max event_id wins) before the join, mirrored in the oracle SQL:
+    Spark's asof_join resolves duplicate timestamps deterministically
+    (max tiebreak) while DuckDB ASOF leaves the pick unspecified — the
+    dedup makes the comparison fixture-independent instead of relying
+    on the current events data having unique (user_id, ts)."""
+    from pyspark.sql.window import Window
+
     from semantic_pdf_search_engine_spark.operators.temporal import asof_join
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     j = asof_join(clicks, purchases, by=("user_id",), right_cols=("event_id", "value"))
     return j.select(
@@ -1055,7 +1073,12 @@ SELECT l.event_id,
        CAST(COALESCE(r.event_id, -1) AS BIGINT) AS p_event_id,
        ROUND(COALESCE(r.value, 0.0), 6) AS p_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ASOF LEFT JOIN (
+    SELECT event_id, user_id, ts, value FROM (
+        SELECT event_id, user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+    WHERE rn = 1) r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "events_range_join": """
