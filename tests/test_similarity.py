@@ -269,6 +269,64 @@ def test_knn_join_partitioning_invariant(emb, spark):
     assert scrambled == base
 
 
+def test_neardup_lsh_band_df_skew_guard(emb, spark):
+    """A hot band bucket (here: 60 identical vectors — the worst case a
+    near-dup corpus produces, every band key shared) must be droppable:
+    with max_band_df below the clump size the guard excludes those keys
+    from pair generation (no O(bucket²) group), while pairs among the
+    rest of the corpus still come out; with the guard off the clump's
+    quadratic pair set appears. The default guard (100k) must leave
+    small corpora untouched."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    v = [float(x) for x in np.random.default_rng(2).standard_normal(dim)]
+    clump = spark.createDataFrame(
+        [(100_000 + i, v, 0) for i in range(60)], emb.schema
+    )
+    planted = emb.unionByName(clump)
+
+    guarded = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_lsh_pairs(
+            planted, threshold=0.9, max_band_df=50
+        ).collect()
+    }
+    assert not any(a >= 100_000 and b >= 100_000 for a, b in guarded), (
+        "hot-bucket pairs must be excluded when the key exceeds max_band_df"
+    )
+
+    unguarded = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_lsh_pairs(
+            planted, threshold=0.9, max_band_df=None
+        ).collect()
+    }
+    n_clump = 60 * 59 // 2
+    assert (
+        sum(a >= 100_000 and b >= 100_000 for a, b in unguarded) == n_clump
+    ), "guard off: the full quadratic clump pair set must appear"
+    # pairs OUTSIDE the hot keys are identical with and without the guard
+    assert {p for p in unguarded if p[1] < 100_000} == {
+        p for p in guarded if p[1] < 100_000
+    }
+
+    # the DEFAULT guard is a no-op on a corpus with no hot keys
+    default_pairs = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_lsh_pairs(emb, threshold=0.3).collect()
+    }
+    off_pairs = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_lsh_pairs(
+            emb, threshold=0.3, max_band_df=None
+        ).collect()
+    }
+    assert default_pairs == off_pairs
+
+
 def test_knn_join_lsh_recall(emb, spark, tmp_path):
     """Batch ANN over the materialized store: every returned pair is a
     real cosine (exact-scored), and recall@8 vs the exact batch join is
