@@ -247,10 +247,12 @@ def ivf_cosine_topk(
 def ivf_probe_buckets(
     centroids: np.ndarray, query_vec: list[float], n_probe: int = 4
 ) -> list[int]:
-    """Driver-side n_probe nearest centroids (shared with ann_store)."""
+    """Driver-side n_probe nearest centroids (shared with ann_store).
+    Stable sort: tie behavior matches ann_store.ivf_probe_assign (the
+    distributed batch form) exactly."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    return [int(p) for p in np.argsort(-(centroids @ qn))[:n_probe]]
+    return [int(p) for p in np.argsort(-(centroids @ qn), kind="stable")[:n_probe]]
 
 
 def embedding_neardup_pairs(

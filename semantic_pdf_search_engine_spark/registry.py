@@ -334,15 +334,31 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch ANN against the MATERIALIZED store (probe pairs broadcast-
-    joined into the bucket-partitioned table) — the scale twin of
-    knn_join. Rows-only (bucket recall < 1 by design); recall vs the
-    exact batch join asserted in tests/test_similarity.py."""
-    from semantic_pdf_search_engine_spark.sources.ann_store import knn_join_lsh
+    """Batch ANN against the MATERIALIZED store via the DISTRIBUTED
+    path (queries stay a DataFrame: probe-bucket assignment is an Arrow
+    matmul, candidates come from a cogroup on the store's partition
+    column, per-bucket blocked matmul top-k — NO driver collect of the
+    query side). Rows-only (bucket recall < 1 by design); equality with
+    the broadcast path and recall vs the exact batch join asserted in
+    tests/test_similarity.py."""
+    from semantic_pdf_search_engine_spark.sources.ann_store import knn_join_lsh_dist
 
     emb = _emb(spark, sf_dir)
-    return knn_join_lsh(
+    return knn_join_lsh_dist(
         _ann_index(spark, sf_dir), _knn_queries(emb), k=10, multiprobe_bits=2
+    )
+
+
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN against the materialized IVF table (distributed
+    centroid probe assignment + cogroup on `_ivf_bucket`, n_probe=4).
+    Rows-only (recall < 1 by design); recall vs the exact batch join
+    asserted in tests/test_similarity.py."""
+    from semantic_pdf_search_engine_spark.sources.ann_store import knn_join_ivf_dist
+
+    emb = _emb(spark, sf_dir)
+    return knn_join_ivf_dist(
+        _ann_index(spark, sf_dir), _knn_queries(emb), k=10, n_probe=4
     )
 
 
@@ -762,6 +778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute": q_ann_brute,
     "knn_join": q_knn_join,
     "knn_join_ann": q_knn_join_ann,
+    "knn_join_ivf": q_knn_join_ivf,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,

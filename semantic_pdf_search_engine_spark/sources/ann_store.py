@@ -225,6 +225,7 @@ def knn_join_lsh(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Batch ANN against the materialized store: the scale twin of
     similarity.knn_join_brute. Each query's probe set is computed
@@ -233,12 +234,29 @@ def knn_join_lsh(
     touches only the UNION of probed buckets, and a store row is
     replicated per matching query (≤ |Q| × probes, never Q×N). Exact
     cosine per (query, candidate) in one Arrow pass, window top-k.
-    Approximate (bucket recall < 1) — tested against knn_join_brute."""
+    Approximate (bucket recall < 1) — tested against knn_join_brute.
+
+    Contract: the query set is collected to the driver (≤ `max_queries`
+    rows, default similarity.MAX_BROADCAST_QUERIES — checked, raises
+    instead of a silent driver OOM). For a corpus-sized query table use
+    `knn_join_lsh_dist`, which keeps the query side a DataFrame."""
     import pandas as pd
     from pyspark.sql.window import Window
 
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        MAX_BROADCAST_QUERIES,
+    )
+
+    if max_queries is None:
+        max_queries = MAX_BROADCAST_QUERIES
     spark = index.spark
-    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    q_rows = queries.select(q_id_col, q_vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_join_lsh collects the query set to the driver; query "
+            f"table exceeds max_queries={max_queries} — use "
+            "knn_join_lsh_dist (bucket-joined, no driver collect)"
+        )
     if not q_rows:
         return spark.createDataFrame(
             [], f"{q_id_col} long, {id_col} long, sim double, rnk int"
@@ -277,4 +295,227 @@ def knn_join_lsh(
     w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed batch k-NN: query side stays a DataFrame (Q ~ corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def lsh_probe_assign(
+    queries: DataFrame,
+    planes: np.ndarray,
+    multiprobe_bits: int = 1,
+    q_vec_col: str = "q_vec",
+    out_col: str = "_bucket",
+) -> DataFrame:
+    """Explode each query row into its LSH probe buckets — the
+    DISTRIBUTED twin of similarity.lsh_probe_buckets (identical probe
+    set: own bucket + Hamming-ball neighbors ≤ multiprobe_bits), one
+    Arrow matmul per batch instead of a driver loop. Output: the query
+    columns × |probes| rows, plus `out_col`."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.ascontiguousarray(planes, dtype=np.float64)
+    n_planes = P.shape[0]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    flips = [np.int64(0)]
+    if multiprobe_bits >= 1:
+        flips += [np.int64(1) << i for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        flips += [
+            (np.int64(1) << i) ^ (np.int64(1) << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    flips_arr = np.array(sorted(set(int(f) for f in flips)), dtype=np.int64)
+
+    def _probes(vecs):
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        qb = (((X @ P.T) > 0) @ weights).astype(np.int64)  # (n,)
+        # (n, n_flips): every Hamming-ball bucket, dupes impossible
+        # (distinct flip masks => distinct xor results)
+        allb = qb[:, None] ^ flips_arr[None, :]
+        return pd.Series(list(allb))
+
+    _probes = F.pandas_udf(_probes, ArrayType(LongType()))
+
+    return queries.withColumn("_probes", _probes(F.col(q_vec_col))).select(
+        *queries.columns, F.explode("_probes").alias(out_col)
+    )
+
+
+def ivf_probe_assign(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    q_vec_col: str = "q_vec",
+    out_col: str = "_ivf_bucket",
+) -> DataFrame:
+    """Explode each query row into its n_probe nearest-centroid buckets
+    — distributed twin of similarity.ivf_probe_buckets (same stable
+    argsort on the negated centroid similarities)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def _probes(vecs):
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    _probes = F.pandas_udf(_probes, ArrayType(IntegerType()))
+
+    return queries.withColumn("_probes", _probes(F.col(q_vec_col))).select(
+        *queries.columns, F.explode("_probes").alias(out_col)
+    )
+
+
+def _bucket_knn_cogroup(
+    qkeyed: DataFrame,
+    store: DataFrame,
+    bucket_col: str,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+) -> DataFrame:
+    """Shared tail of the distributed k-NN joins: cogroup query and
+    store rows on the bucket key; per bucket, ONE blocked numpy matmul
+    scores all (query, candidate) pairs and emits each query's bucket-
+    local top-k UNDER THE FINAL SORT KEY (round(sim,6) desc, id asc) —
+    a monotone selection, and a store row lives in exactly one bucket,
+    so the global window top-k over the per-bucket winners equals the
+    top-k over all probed candidates. Memory per task stays
+    O(|Q_bucket|·k + block·|Q_bucket|), never |Q|·|N|."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    BLOCK = 4096
+
+    def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                q_id_col: pd.Series(dtype="int64"),
+                id_col: pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        if qpdf.empty or cpdf.empty:
+            return empty
+        q_ids = qpdf[q_id_col].to_numpy()
+        Q = np.array(qpdf[q_vec_col].tolist(), dtype=np.float64)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        ids = cpdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        cvecs = cpdf[vec_col].to_numpy()[order]
+        parts = []
+        for s in range(0, len(ids), BLOCK):
+            e = min(s + BLOCK, len(ids))
+            X = np.array(cvecs[s:e].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            sims = np.round(Q @ X.T, 6)  # (Qb, block)
+            take = min(k, e - s)
+            # ids ascending + stable sort on -rounded ≡ the final key
+            sel = np.argsort(-sims, axis=1, kind="mergesort")[:, :take]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        q_id_col: np.repeat(q_ids, take),
+                        id_col: ids[s:e][sel].ravel(),
+                        "sim": np.take_along_axis(sims, sel, axis=1).ravel(),
+                    }
+                )
+            )
+        allc = pd.concat(parts, ignore_index=True)
+        # bucket-local top-k per query on the same key
+        allc = allc.sort_values(
+            ["sim", id_col], ascending=[False, True], kind="mergesort"
+        )
+        return allc.groupby(q_id_col, sort=False).head(k)
+
+    scored = (
+        qkeyed.groupBy(bucket_col)
+        .cogroup(store.groupBy(bucket_col))
+        .applyInPandas(score, schema=f"{q_id_col} long, {id_col} long, sim double")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def knn_join_lsh_dist(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, vec_id, sim, rnk): batch ANN with a DataFrame query side —
+    the corpus-scale shape ("k-NN every new document against the
+    corpus", Q ~ corpus) the broadcast paths cannot serve. No
+    `collect()` anywhere:
+
+      1. `lsh_probe_assign` buckets the queries with the STORED planes
+         (one Arrow matmul per batch) and explodes the multiprobe set;
+      2. queries and store are COGROUPED on `_bucket` — one shuffle of
+         each side, keyed by the store's own partition column;
+      3. per bucket, a blocked numpy matmul emits each query's bucket-
+         local top-k (`_bucket_knn_cogroup`), selected under the final
+         (round(sim,6) desc, id asc) key — provable containment, a
+         store vector lives in exactly ONE bucket so no cross-bucket
+         dedup is needed;
+      4. a window finishes the global per-query top-k over ≤
+         |probes|·k rows per query.
+
+    Same probe semantics and scoring as `knn_join_lsh` (equality is
+    pinned in tests); reference analog: per-query Qdrant search
+    (/root/reference/src/qdrant.rs:70-96) generalized to a batch join.
+    Hot-bucket caveat: one bucket = one task (memory bounded by the
+    block loop); size n_planes so buckets stay task-sized."""
+    qk = lsh_probe_assign(
+        queries.select(q_id_col, q_vec_col), index.planes, multiprobe_bits, q_vec_col
+    )
+    store = index.lsh.select(
+        F.col("_bucket").cast("long").alias("_bucket"), id_col, vec_col
+    )
+    return _bucket_knn_cogroup(
+        qk, store, "_bucket", k, id_col, vec_col, q_id_col, q_vec_col
+    )
+
+
+def knn_join_ivf_dist(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF twin of `knn_join_lsh_dist`: queries are assigned their
+    n_probe nearest stored centroids distributed (`ivf_probe_assign`),
+    then cogroup-joined to the `_ivf_bucket`-partitioned table. IVF
+    buckets are Voronoi cells, so occupancy tracks the data
+    distribution (k-means balances mass) — often the better-behaved
+    bucket histogram under clustered embeddings."""
+    qk = ivf_probe_assign(
+        queries.select(q_id_col, q_vec_col), index.centroids, n_probe, q_vec_col
+    )
+    store = index.ivf.select(
+        F.col("_ivf_bucket").cast("int").alias("_ivf_bucket"), id_col, vec_col
+    )
+    return _bucket_knn_cogroup(
+        qk, store, "_ivf_bucket", k, id_col, vec_col, q_id_col, q_vec_col
     )

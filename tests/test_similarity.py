@@ -354,3 +354,85 @@ def test_knn_join_lsh_recall(emb, spark, tmp_path):
         len(v) for v in exact.values()
     )
     assert recall >= 0.2, recall  # random 64-d corpus: floor, not a guarantee
+
+
+def test_knn_join_dist_equals_broadcast(emb, spark, tmp_path):
+    """The distributed (cogroup, query-side-DataFrame) batch k-NN must
+    return EXACTLY the broadcast path's answer — same probe semantics,
+    same rounded sims, same tie-break — and its probe assignment must
+    match the driver-side probe-set function per query."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        ivf_probe_buckets,
+        lsh_probe_buckets,
+    )
+    from semantic_pdf_search_engine_spark.sources.ann_store import (
+        build_ann_index,
+        ivf_probe_assign,
+        knn_join_ivf_dist,
+        knn_join_lsh,
+        knn_join_lsh_dist,
+        lsh_probe_assign,
+    )
+
+    idx = build_ann_index(spark, emb, str(tmp_path / "ann3"))
+    queries = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    # probe-assignment parity (LSH + IVF) vs the driver-side functions
+    got_probes = {}
+    for r in lsh_probe_assign(queries, idx.planes, multiprobe_bits=2).collect():
+        got_probes.setdefault(r["q_id"], set()).add(r["_bucket"])
+    for q in queries.collect():
+        want = set(lsh_probe_buckets(idx.planes, list(q["q_vec"]), 2))
+        assert got_probes[q["q_id"]] == want, q["q_id"]
+    got_ivf = {}
+    for r in ivf_probe_assign(queries, idx.centroids, n_probe=4).collect():
+        got_ivf.setdefault(r["q_id"], []).append(r["_ivf_bucket"])
+    for q in queries.collect():
+        want = ivf_probe_buckets(idx.centroids, list(q["q_vec"]), 4)
+        assert sorted(got_ivf[q["q_id"]]) == sorted(want), q["q_id"]
+
+    base = {
+        (r["q_id"], r["rnk"]): (r["vec_id"], r["sim"])
+        for r in knn_join_lsh(idx, queries, k=8, multiprobe_bits=2).collect()
+    }
+    dist = {
+        (r["q_id"], r["rnk"]): (r["vec_id"], r["sim"])
+        for r in knn_join_lsh_dist(idx, queries, k=8, multiprobe_bits=2).collect()
+    }
+    assert dist == base
+
+    # IVF dist path: self-match always found, recall vs exact sane
+    from semantic_pdf_search_engine_spark.operators.similarity import knn_join_brute
+
+    exact = {}
+    for r in knn_join_brute(emb, queries, k=8).collect():
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in knn_join_ivf_dist(idx, queries, k=8, n_probe=4).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for qid in exact:
+        assert qid in got[qid]  # self-sim 1.0 lives in the query's own cell
+    recall = sum(len(got[q] & exact[q]) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert recall >= 0.2, recall
+
+
+def test_knn_join_broadcast_guard_raises(emb, spark, tmp_path):
+    """Both broadcast paths enforce the checked query-set contract."""
+    from semantic_pdf_search_engine_spark.operators.similarity import knn_join_brute
+    from semantic_pdf_search_engine_spark.sources.ann_store import (
+        build_ann_index,
+        knn_join_lsh,
+    )
+
+    queries = emb.limit(30).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join_brute(emb, queries, k=2, max_queries=10).collect()
+    idx = build_ann_index(spark, emb.limit(100), str(tmp_path / "ann4"))
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join_lsh(idx, queries, k=2, max_queries=10).collect()
