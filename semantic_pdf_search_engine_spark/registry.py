@@ -252,11 +252,37 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_cosine_topk(emb, list(qv), k=10, exclude_ids=(0,))
 
 
+def _parquet_signature(path: str) -> str:
+    """Driver-side data signature of a parquet file/directory: per-file
+    (name, size) plus footer row counts plus the first 64 KiB of bytes
+    (column-chunk data — regenerated fixtures with the same SHAPE but
+    different values change it). NO Spark jobs — this replaces the
+    emb.count() + first-vector fetch that used to cost every ANN
+    registry query two scheduler round-trips before it started."""
+    import hashlib
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    h = hashlib.md5()
+    for f in files:
+        h.update(f"{f.name}:{f.stat().st_size}:".encode())
+        h.update(str(pq.ParquetFile(f).metadata.num_rows).encode())
+    if files:
+        with open(files[0], "rb") as fh:
+            h.update(fh.read(65536))
+    return h.hexdigest()
+
+
 def _ann_index(spark: SparkSession, sf_dir: str):
     """Build-once/probe-many: the materialized ANN store for sf_dir,
     cached under $SPSE_ANN_CACHE (default tmpdir) keyed by the data
-    path and validated by row count — queries against it are parquet
-    PARTITION PRUNING on the bucket column, not full-corpus rescans."""
+    path and validated by a DRIVER-SIDE parquet signature (footer row
+    counts + leading bytes — no Spark jobs on the serving path) —
+    queries against it are parquet PARTITION PRUNING on the bucket
+    column, not full-corpus rescans."""
     import hashlib
     import tempfile
 
@@ -266,18 +292,13 @@ def _ann_index(spark: SparkSession, sf_dir: str):
     # corpus (bucket occupancy ~n/64); at production corpus sizes raise
     # n_planes so buckets stay directory-sized
 
-    emb = _emb(spark, sf_dir)
     root = os.environ.get(
         "SPSE_ANN_CACHE", os.path.join(tempfile.gettempdir(), "spse_ann_cache")
     )
     d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
 
-    # cache validity = row count + build params + a DATA signature
-    # (md5 of vec 0's bytes): regenerated fixtures with the same shape
-    # must not silently serve a stale store of the OLD vectors
-    first = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     sig = hashlib.md5(
-        repr([_N_PLANES, emb.count(), list(first[0]) if first else None]).encode()
+        f"{_N_PLANES}:{_parquet_signature(f'{sf_dir}/embeddings.parquet')}".encode()
     ).hexdigest()
     sig_path = os.path.join(d, "cache_sig.txt")
     try:
@@ -285,7 +306,7 @@ def _ann_index(spark: SparkSession, sf_dir: str):
             return ann_store.load_ann_index(spark, d)
     except (FileNotFoundError, ValueError, KeyError):
         pass
-    idx = ann_store.build_ann_index(spark, emb, d, n_planes=_N_PLANES)
+    idx = ann_store.build_ann_index(spark, _emb(spark, sf_dir), d, n_planes=_N_PLANES)
     with open(sig_path, "w") as f:
         f.write(sig)
     return idx
