@@ -137,6 +137,7 @@ class InvertedIndex:
     stripe_docs: int
     postings_rel: str = "postings"
     docfreq_rel: str = "docfreq"
+    docs_rel: str = "docs"
 
     _postings_cached: DataFrame | None = None
     _docfreq_cached: DataFrame | None = None
@@ -173,7 +174,7 @@ class InvertedIndex:
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docs")
+        return self.spark.read.parquet(f"{self.index_dir}/{self.docs_rel}")
 
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         """Payload fetch of winners — the analog of the reference's
@@ -192,6 +193,7 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
         p.get("stripe_docs", STRIPE_DOCS),
         postings_rel=p.get("postings_rel", "postings"),
         docfreq_rel=p.get("docfreq_rel", "docfreq"),
+        docs_rel=p.get("docs_rel", "docs"),
     )
 
 
@@ -243,18 +245,23 @@ def build_index(
     # footers by default), doubling every stage's IO.
 
     # --- stage 1: stable docIDs + docs table -------------------------------
+    # physical dirs resolve through params (docs_rel/tf_rel), same
+    # versioned-pointer pattern as postings/docfreq — compaction swaps
+    # them atomically (see compact_docs_tf)
+    docs_rel = m.data["params"].get("docs_rel", "docs")
+    tf_rel = m.data["params"].get("tf_rel", "tf")
     if not (resume and m.stage_complete("docs")):
         t0 = time.time()
         docs = assign_doc_ids(transcripts)
         obs = Observation("docs")
         docs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
-        ).parquet(str(d / "docs"))
+        ).parquet(str(d / docs_rel))
         unpersist_doc_ids(docs)
         n_rows = int(obs.get["rows"])
-        dt = m.record("docs", d / "docs", n_rows, t0)
+        dt = m.record("docs", d / docs_rel, n_rows, t0)
         metrics["docs_turns_per_sec"] = round(n_rows / dt, 1)
-    docs = spark.read.parquet(str(d / "docs"))
+    docs = spark.read.parquet(str(d / docs_rel))
     n_turns = m.data["stages"]["docs"]["rows"]
 
     # --- stage 2: term frequencies (persisted: the expensive stage) --------
@@ -264,10 +271,10 @@ def build_index(
         obs = Observation("tf")
         tf.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
-        ).parquet(str(d / "tf"))
-        dt = m.record("tf", d / "tf", int(obs.get["rows"]), t0)
+        ).parquet(str(d / tf_rel))
+        dt = m.record("tf", d / tf_rel, int(obs.get["rows"]), t0)
         metrics["tokenize_turns_per_sec"] = round(n_turns / dt, 1)
-    tf = spark.read.parquet(str(d / "tf"))
+    tf = spark.read.parquet(str(d / tf_rel))
 
     # --- stage 3: corpus stats + docfreq/idf --------------------------------
     docfreq_rel = m.data["params"].get("docfreq_rel", "docfreq")
@@ -356,6 +363,7 @@ def build_index(
         stripe_docs,
         postings_rel=postings_rel,
         docfreq_rel=docfreq_rel,
+        docs_rel=docs_rel,
     )
 
 
@@ -393,20 +401,22 @@ def append_to_index(
     stripe_docs = params["stripe_docs"]
     postings_rel = params.get("postings_rel", "postings")
     docfreq_rel = params.get("docfreq_rel", "docfreq")
+    docs_rel = params.get("docs_rel", "docs")
+    tf_rel = params.get("tf_rel", "tf")
 
     t0 = time.time()
     assigned = assign_doc_ids(new_transcripts)
     new_docs = assigned.withColumn("doc_id", F.col("doc_id") + F.lit(n_old))
     new_docs.persist()
     n_new = new_docs.count()
-    new_docs.write.mode("append").parquet(str(d / "docs"))
+    new_docs.write.mode("append").parquet(str(d / docs_rel))
 
     tf_new = P.term_frequencies(new_docs, text_col=text_col)
     tf_new.persist()
     total_new = (
         tf_new.agg(F.sum(F.col("tf").cast("long")).alias("t")).collect()[0]["t"] or 0
     )
-    tf_new.write.mode("append").parquet(str(d / "tf"))
+    tf_new.write.mode("append").parquet(str(d / tf_rel))
 
     n_all = n_old + n_new
     total_all = total_old + int(total_new)
@@ -477,6 +487,7 @@ def append_to_index(
         stripe_docs,
         postings_rel=postings_rel,
         docfreq_rel=new_docfreq_rel,
+        docs_rel=docs_rel,
     )
 
 
@@ -487,7 +498,60 @@ def _next_version(current_rel: str, base: str) -> str:
     return f"{base}_v{int(current_rel.rsplit('_v', 1)[1]) + 1}"
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
+def compact_docs_tf(
+    spark: SparkSession,
+    index_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> InvertedIndex:
+    """Fold the small files that appends accumulate in docs/ and tf/.
+
+    Every append_to_index / streaming micro-batch APPENDS new parquet
+    files; after thousands of batches the docs scan is file-listing-
+    bound even though row volume barely grew. This job rewrites each
+    table into ⌈rows / target_rows_per_file⌉ files via coalesce (NARROW
+    — merges read partitions without a shuffle; content is unchanged
+    and nothing depends on row order within the tables). Row counts
+    come from parquet footers (driver-side, no data scan). The rewrite
+    lands in a versioned dir; the manifest pointer flip (docs_rel/
+    tf_rel, same pattern as postings/docfreq) is the atomic commit, and
+    the stage lineage is re-recorded against the new files so
+    checkpoint resume stays coherent."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    d = Path(index_dir)
+    m = Manifest(index_dir)
+    params = m.data["params"]
+    for base in ("docs", "tf"):
+        rel = params.get(f"{base}_rel", base)
+        src = d / rel
+        files = sorted(src.rglob("*.parquet"))
+        if len(files) <= 1:
+            continue
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        if n_files >= len(files):
+            continue  # already at/below target — rewriting would not help
+        new_rel = _next_version(rel, base)
+        t0 = time.time()
+        spark.read.parquet(str(src)).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(str(d / new_rel))
+        params[f"{base}_rel"] = new_rel
+        # re-record under the ORIGINAL stage name: the stage is still
+        # complete, its lineage just points at the rewritten files
+        m.record(
+            base, d / new_rel, n_rows, t0,
+            {"compacted_from": rel, "files_before": len(files)},
+        )  # record() saves the manifest — the atomic pointer flip
+        shutil.rmtree(src)
+    return load_index(spark, index_dir)
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, include_docs_tf: bool = True
+) -> InvertedIndex:
     """LSM major compaction: merge every (term, stripe)'s block rows —
     one per append segment that touched the stripe — into a single
     block, bit-identical to what a one-shot build over the merged
@@ -502,7 +566,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
     posting under CURRENT stats (same numpy expression as the build —
     required for the compact≡one-shot equality that tests pin).
     The rewritten table lands in a new versioned dir; the manifest
-    pointer flip is the atomic commit (same pattern as docfreq)."""
+    pointer flip is the atomic commit (same pattern as docfreq).
+    `include_docs_tf` additionally folds the docs/tf small files that
+    appends accumulate (compact_docs_tf) — the full LSM maintenance
+    pass the streaming compact_every hook runs."""
     import numpy as np
     import pandas as pd
 
@@ -598,4 +665,6 @@ def compact_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
         import shutil
 
         shutil.rmtree(d / postings_rel)
+    if include_docs_tf:
+        return compact_docs_tf(spark, index_dir)
     return load_index(spark, index_dir)

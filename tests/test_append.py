@@ -135,6 +135,78 @@ def test_compaction_equals_one_shot(spark, tmp_path):
     assert idx_re.postings_rel.startswith("postings_v")
 
 
+def test_docs_tf_compaction_bounds_files(spark, tmp_path):
+    """Sustained appends accumulate parquet files in docs/ and tf/
+    forever; compact_docs_tf must fold them to the row-count target
+    with content EXACTLY preserved, queries identical, and the manifest
+    pointer (docs_rel) surviving reload. compact_index runs it as part
+    of the streaming compact_every maintenance pass."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        compact_docs_tf,
+        compact_index,
+    )
+
+    pdf = make_transcripts(n_convs=24)
+    cuts = ["conv%08d" % i for i in (6, 9, 12, 15, 18, 21)]
+    parts = []
+    prev = None
+    for c in cuts + [None]:
+        if prev is None:
+            sel = pdf[pdf["conv_id"] < c]
+        elif c is None:
+            sel = pdf[pdf["conv_id"] >= prev]
+        else:
+            sel = pdf[(pdf["conv_id"] >= prev) & (pdf["conv_id"] < c)]
+        parts.append(sel.reset_index(drop=True))
+        prev = c
+
+    d = tmp_path / "cdt"
+    build_index(spark, spark.createDataFrame(parts[0]), str(d), stripe_docs=64)
+    for p in parts[1:]:
+        idx = append_to_index(spark, spark.createDataFrame(p), str(d))
+
+    docs_files_pre = len(list((d / "docs").rglob("*.parquet")))
+    tf_files_pre = len(list((d / "tf").rglob("*.parquet")))
+    assert docs_files_pre > 6 and tf_files_pre > 6  # one+ per append
+    pre_docs = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"] for r in idx.docs.collect()
+    }
+    q = make_queries(4)[1]
+    pre_hits = [
+        (r["doc_id"], r["score"]) for r in score_topk(idx, q, 10).collect()
+    ]
+
+    idx_c = compact_docs_tf(spark, str(d), target_rows_per_file=10_000)
+    assert idx_c.docs_rel == "docs_v1"
+    assert not (d / "docs").exists()  # old dir removed after pointer flip
+    assert len(list((d / "docs_v1").rglob("*.parquet"))) < docs_files_pre
+    assert len(list(Path(d / "tf_v1").rglob("*.parquet"))) < tf_files_pre
+
+    post_docs = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"] for r in idx_c.docs.collect()
+    }
+    assert post_docs == pre_docs
+    assert [
+        (r["doc_id"], r["score"]) for r in score_topk(idx_c, q, 10).collect()
+    ] == pre_hits
+
+    # reload resolves the new pointer; idempotent re-run is a no-op
+    idx_re = load_index(spark, str(d))
+    assert idx_re.docs_rel == "docs_v1"
+    idx_c2 = compact_docs_tf(spark, str(d), target_rows_per_file=10_000)
+    assert idx_c2.docs_rel == "docs_v1"
+
+    # the full maintenance pass (compact_index) folds postings AND keeps
+    # docs/tf compact
+    idx_m = compact_index(spark, str(d))
+    assert idx_m.postings_rel.startswith("postings_v")
+    assert idx_m.docs.count() == len(pre_docs)
+
+
 def test_scoped_search_non_contiguous_conv(spark, tmp_path):
     """ADVICE fix: an append that adds turns to an EXISTING conversation
     breaks docID contiguity for that conv. The scoped path must detect
