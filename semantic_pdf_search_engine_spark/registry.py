@@ -224,6 +224,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs)
 
 
+def q_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding at the PRODUCTION parameters (64 permutations /
+    16 bands, r=4 rows per band → candidate threshold s ≈ 0.45): the
+    configuration a 100 TB near-dup pass would run, vs the 4/2 demo
+    whose tiny signature space has an exact DuckDB twin. Rows-only
+    (banding is probabilistic); the banding-probability curve
+    1−(1−J⁴)¹⁶ is certified in tests/test_dedup.py
+    (test_minhash_prod_banding_probability). Shuffle stays (doc, band)
+    shaped at any parameter setting."""
+    from semantic_pdf_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _PAIR_BOUND)
+    return minhash_lsh_pairs(docs, n_perms=64, n_bands=16)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.dedup import simhash
 
@@ -794,6 +809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_lsh_prod": q_minhash_lsh_prod,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ann_brute": q_ann_brute,

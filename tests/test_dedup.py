@@ -115,6 +115,62 @@ def test_minhash_signature_match_probability(spark):
         assert 0.0 <= p <= 1.0
 
 
+def test_minhash_prod_banding_probability(spark):
+    """Certify the PRODUCTION banding configuration (64 perms / 16
+    bands, r=4): P(candidate | shingle-Jaccard J) must track the
+    analytic banding curve 1 − (1 − J⁴)¹⁶. Pairs are constructed with
+    EXACT Jaccard — m shared + u per-side unique tokens gives
+    J = (m−2)/(m−2+2u) on 3-gram shingle sets — over per-pair disjoint
+    vocabularies, so cross-pair candidates would be hash collisions."""
+    from semantic_pdf_search_engine_spark.operators.dedup import doc_shingles
+
+    # (m, u, expected J): high / threshold / low similarity levels
+    levels = [(18, 2, 0.8), (18, 8, 0.5), (6, 11, 4 / 26)]
+    n_per = 40
+    rows = []
+    meta = {}
+    pid = 0
+    for m, u, j_want in levels:
+        for _ in range(n_per):
+            shared = [f"p{pid}x{i}" for i in range(m)]
+            a = shared + [f"p{pid}a{i}" for i in range(u)]
+            b = shared + [f"p{pid}b{i}" for i in range(u)]
+            rows.append((2 * pid, " ".join(a)))
+            rows.append((2 * pid + 1, " ".join(b)))
+            meta[pid] = j_want
+            pid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # sanity: the constructed Jaccard is exactly as designed (spot-check
+    # via the shingle operator itself)
+    sh = {
+        r["doc_id"]: set()
+        for r in docs.filter(F.col("doc_id") < 4).select("doc_id").collect()
+    }
+    for r in doc_shingles(docs.filter(F.col("doc_id") < 4)).collect():
+        sh[r["doc_id"]].add(r["shingle"])
+    j01 = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+    assert abs(j01 - levels[0][2]) < 1e-9
+
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs, n_perms=64, n_bands=16).collect()
+    }
+    assert all(b == a + 1 for a, b in got), "cross-pair candidate (J=0) emitted"
+
+    import math
+
+    for m, u, j in levels:
+        pids = [p for p, jw in meta.items() if jw == j]
+        hit = sum((2 * p, 2 * p + 1) in got for p in pids)
+        rate = hit / len(pids)
+        p_true = 1 - (1 - j**4) ** 16
+        sigma = math.sqrt(p_true * (1 - p_true) / len(pids))
+        assert abs(rate - p_true) <= max(4 * sigma, 0.1), (
+            f"J={j:.3f}: observed {rate:.3f} vs analytic {p_true:.3f}"
+        )
+
+
 def test_minhash_arrow_equals_sql_semantics(spark):
     """The Arrow signature path must be byte-identical to the DuckDB
     definition: min over md5('{i}:' || shingle) hex strings."""
