@@ -89,6 +89,115 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+    tiebreak: str | None = None,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """`asof_join` with HOT-KEY SKEW handling: identical output (pinned
+    by test), but each key's rows are split into time buckets so a
+    celebrity key is sorted by MANY tasks instead of one.
+
+    The plain union-tag plan sorts each key group in a single task —
+    at 100 TB a hot user serializes. Here:
+
+      1. right rows get `_tbk = floor(epoch/bucket_sec)`; per
+         (key, bucket) the LATEST right payload is an aggregate
+         (max of struct(ts, tiebreak, payload) — the same dedup order
+         the base window uses);
+      2. a bucket spine (distinct (key, bucket) from BOTH sides) gets a
+         running carry-in: last non-null per-bucket payload over
+         STRICTLY EARLIER buckets (a window over per-bucket rows — rows
+         per key = #buckets, not #events);
+      3. the carry-in is injected as a SEED row (null ts → sorts first)
+         into each (key, bucket) group, and the base union-tag window
+         runs partitioned by (key, bucket) — task size is now
+         O(rows per key per bucket_sec).
+
+    Left rows with a NULL ts land in the null bucket, which precedes
+    every bucket in the carry ordering and so carries nothing — same
+    null-payload result as the base plan. Cost: one extra aggregate +
+    one tiny spine window over the 1-shuffle base plan; use when key
+    skew is real, the base `asof_join` otherwise."""
+    reserved = {"_payload", "_side", "_tbk", "_bp", "_carry"}
+    collisions = [c for c in left.columns if c.startswith("r_") or c in reserved]
+    if collisions:
+        raise ValueError(
+            f"left columns {collisions} collide with reserved names "
+            "(r_*/_payload/_side/_tbk); rename them first"
+        )
+    tiebreak = tiebreak or right_cols[0]
+
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    tbk = F.floor(_epoch(ts_col) / bucket_sec)
+    l = left.withColumn("_side", F.lit(1)).withColumn("_tbk", tbk)
+    r = right.filter(F.col(ts_col).isNotNull())
+    for key in by:
+        r = r.filter(F.col(key).isNotNull())
+    r = r.select(
+        *by,
+        ts_col,
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c).alias(f"r_{c}") for c in right_cols]).alias("_payload"),
+    ).withColumn("_tbk", tbk)
+
+    # per-(key, bucket) latest right payload, then running carry-in
+    rb = r.groupBy(*by, "_tbk").agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(f"_payload.r_{tiebreak}").alias("tb"),
+                F.col("_payload").alias("p"),
+            )
+        )["p"].alias("_bp")
+    )
+    spine = (
+        l.select(*by, "_tbk").union(r.select(*by, "_tbk")).distinct()
+    )
+    wseq = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_tbk").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_type = left.schema[ts_col].dataType
+    seeds = (
+        spine.join(rb, [*by, "_tbk"], "left")
+        .select(
+            *by,
+            "_tbk",
+            F.last("_bp", ignorenulls=True).over(wseq).alias("_payload"),
+        )
+        .withColumn("_side", F.lit(-1))
+        .withColumn(ts_col, F.lit(None).cast(ts_type))
+    )
+
+    u = l.unionByName(r, allowMissingColumns=True).unionByName(
+        seeds, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(*by, "_tbk")
+        .orderBy(
+            F.col(ts_col).asc(),  # nulls first: seeds precede everything
+            F.col("_side").asc(),
+            F.col(f"_payload.r_{tiebreak}").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = [c for c in left.columns]
+    carried = F.last("_payload", ignorenulls=True).over(w).alias("_payload")
+    return (
+        u.select(*keep, "_side", carried)
+        .filter(F.col("_side") == 1)
+        .select(*keep, *[F.col(f"_payload.r_{c}").alias(f"r_{c}") for c in right_cols])
+    )
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

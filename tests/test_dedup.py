@@ -266,6 +266,75 @@ def test_asof_join_semantics(spark):
     assert rows[4] == (None, None) # user 8 has no right rows at all
 
 
+def test_asof_bucketed_equals_base_under_skew(spark):
+    """asof_join_bucketed must return EXACTLY asof_join's answer while
+    splitting a hot key's rows across many (key, bucket) window groups
+    — including matches that reach across empty buckets (carry-in), the
+    first-bucket no-match case, and equal-timestamp inclusivity."""
+    import datetime as dt
+    import random
+
+    from semantic_pdf_search_engine_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    # hot key 7: 3000 left + 400 right rows over ~60 days; cold keys
+    # sparse; key 8 has right rows only DAYS before its left rows
+    # (carry must cross many empty hourly buckets)
+    lrows, rrows = [], []
+    eid = 0
+    for _ in range(3000):
+        eid += 1
+        lrows.append((eid, 7, t0 + dt.timedelta(seconds=rng.randrange(5_000_000))))
+    for _ in range(400):
+        eid += 1
+        rrows.append(
+            (eid, 7, t0 + dt.timedelta(seconds=rng.randrange(5_000_000)),
+             round(rng.random(), 3))
+        )
+    for k in (8, 9):
+        eid += 1
+        rrows.append((eid, k, t0 + dt.timedelta(hours=1), 1.25))
+        for d in (10, 20, 30):
+            eid += 1
+            lrows.append((eid, k, t0 + dt.timedelta(days=d)))
+    eid += 1
+    lrows.append((eid, 10, t0))  # key with no right rows at all
+    # duplicate right timestamps on one key: max-tiebreak dedup parity
+    dup_t = t0 + dt.timedelta(days=2)
+    for v in (1.0, 2.0):
+        eid += 1
+        rrows.append((eid, 9, dup_t, v))
+
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+    base = {
+        r["event_id"]: (r["r_event_id"], r["r_value"])
+        for r in asof_join(left, right).collect()
+    }
+    bucketed = {
+        r["event_id"]: (r["r_event_id"], r["r_value"])
+        for r in asof_join_bucketed(left, right, bucket_sec=3600).collect()
+    }
+    assert bucketed == base
+
+    # the hot key genuinely splits: its rows span many window groups
+    n_buckets = (
+        left.filter(F.col("user_id") == 7)
+        .selectExpr("floor(cast(ts as double) / 3600) b")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 100
+
+
 def test_kmv_estimate_accuracy(spark):
     """KMV estimator: exact below k, within ~3/sqrt(k) relative error
     above k (k=64 → 37.5% bound; typical ~12%)."""
