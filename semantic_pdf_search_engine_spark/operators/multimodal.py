@@ -22,6 +22,7 @@ metadata, never the payload.
 from __future__ import annotations
 
 import hashlib
+from typing import Callable, Protocol
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -35,18 +36,31 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.col(text_col).cast("binary"))
 
 
-def decode_stub(payload: bytes, strict: bool = False) -> dict:
-    """STUB for the media decode step (no codec libs in this container).
+class Decoder(Protocol):
+    """The pluggable media-decode step: payload bytes → metadata dict
+    with keys width, height, n_frames. Implementations must be
+    PICKLABLE (module-level callables / functools.partial — they ship
+    to executors inside the Arrow UDF closure) and cheap to import per
+    worker. A production deployment slots a PIL/av-backed callable in
+    here; this container ships none, so the defaults below are an
+    honest strict raiser and a deterministic digest fake."""
 
-    strict=True  → NotImplementedError, the honest production posture.
-    strict=False → deterministic fake features derived from the digest,
-                   so batch shapes/schemas are exercised end-to-end.
-    """
-    if strict:
-        raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "environment; plug a real decoder in here"
-        )
+    def __call__(self, payload: bytes) -> dict: ...
+
+
+def strict_decoder(payload: bytes) -> dict:
+    """The honest production posture for this container: no codec libs
+    are installed, so decoding raises instead of fabricating."""
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this "
+        "environment; inject a Decoder (extract_media_meta(decoder=...))"
+    )
+
+
+def digest_decoder(payload: bytes) -> dict:
+    """Deterministic fake decoder (the TEST Decoder): metadata derived
+    from the payload digest, so batch shapes/schemas/partitioning are
+    exercised end-to-end with an exact SQL twin."""
     digest = hashlib.md5(payload).digest()
     return {
         "width": 64 + digest[0] % 192,  # fake, deterministic
@@ -55,16 +69,29 @@ def decode_stub(payload: bytes, strict: bool = False) -> dict:
     }
 
 
+def decode_stub(payload: bytes, strict: bool = False) -> dict:
+    """Back-compat shim over the two default Decoders."""
+    return strict_decoder(payload) if strict else digest_decoder(payload)
+
+
 def extract_media_meta(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], dict] | None = None,
 ) -> DataFrame:
     """(id, n_bytes, content_md5, width, height, n_frames) via one
-    Arrow-batched pass over the binary column."""
+    Arrow-batched pass over the binary column. The decode step is an
+    injected `Decoder` (default: digest_decoder, the deterministic
+    fake) — production code plugs a real codec-backed callable without
+    editing this operator; `strict_decoder` documents the no-codec
+    posture of this container."""
+    decoder = decoder or digest_decoder
 
     def gen(batches):
         for pdf in batches:
             payloads = pdf[payload_col].tolist()
-            metas = [decode_stub(bytes(p)) for p in payloads]
+            metas = [decoder(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

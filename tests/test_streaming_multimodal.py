@@ -111,6 +111,49 @@ def test_decode_stub_strict_raises():
         decode_stub(b"bytes", strict=True)
 
 
+def test_injected_decoder_flows_through(spark):
+    """A custom Decoder plugs into extract_media_meta without editing
+    the operator; the strict decoder raises THROUGH the executor; and
+    the default (digest fake) stays the registered oracle-checked
+    behavior."""
+    from semantic_pdf_search_engine_spark.operators.multimodal import (
+        digest_decoder,
+        strict_decoder,
+    )
+
+    def _fixed_decoder(payload: bytes) -> dict:
+        # local closure: cloudpickle ships it by value to executors
+        return {"width": 320, "height": 240, "n_frames": len(payload)}
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_media_meta(
+            attach_payload(docs), decoder=_fixed_decoder
+        ).collect()
+    }
+    assert out[1]["width"] == 320 and out[1]["n_frames"] == len(b"hello world")
+    assert out[2]["n_frames"] == 3
+    # byte-level columns unaffected by the decoder choice
+    import hashlib
+
+    assert out[1]["content_md5"] == hashlib.md5(b"hello world").hexdigest()
+
+    with pytest.raises(Exception, match="codec libraries"):
+        extract_media_meta(attach_payload(docs), decoder=strict_decoder).collect()
+
+    # default decoder == digest fake (the oracle-twinned path)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["n_frames"])
+        for r in extract_media_meta(attach_payload(docs)).collect()
+    }
+    for did, text in [(1, "hello world"), (2, "abc")]:
+        m = digest_decoder(text.encode())
+        assert got[did] == (m["width"], m["height"], m["n_frames"])
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState exact dedup: first sighting of a content
     fingerprint is emitted (min doc_id in that batch), duplicates in the
