@@ -720,24 +720,75 @@ def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(meta, max_side=224)
 
 
+def _doc_index(spark: SparkSession, sf_dir: str):
+    """Prebuilt COMPRESSED inverted index over the documents table
+    (build-once/probe-many, cached under $SPSE_INDEX_CACHE like the ANN
+    store, validated by the driver-side parquet signature): serving-
+    path queries read partition-pruned posting blocks instead of
+    re-running the 4-scan relational BM25 spec per query. Documents map
+    to the transcript shape via conv_id = zero-padded doc_id (one turn
+    per doc), so assigned docIDs follow doc_id order; the original id
+    travels as `orig_doc_id` in the docs table."""
+    import hashlib
+    import tempfile
+
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        build_index,
+        load_index,
+    )
+
+    root = os.environ.get(
+        "SPSE_INDEX_CACHE", os.path.join(tempfile.gettempdir(), "spse_index_cache")
+    )
+    d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    sig = hashlib.md5(
+        f"docidx:{_parquet_signature(f'{sf_dir}/documents.parquet')}".encode()
+    ).hexdigest()
+    sig_path = os.path.join(d, "cache_sig.txt")
+    try:
+        if open(sig_path).read() == sig:
+            return load_index(spark, d)
+    except (FileNotFoundError, ValueError, KeyError):
+        pass
+    transcripts = _docs(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("doc_id").alias("orig_doc_id"),
+        "text",
+    )
+    idx = build_index(spark, transcripts, d, resume=False)
+    with open(sig_path, "w") as f:
+        f.write(sig)
+    return idx
+
+
 def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-top-k span refinement (reference fuzzy.rs pipeline) over the
     flagship query's BM25 winners — rows-only check (Jaro-Winkler is
     not SQL-expressible; unit-tested against the reference's artifact
-    vectors in tests/test_spans.py). Winner ids (k rows) are collected
-    and pushed into the docs scan as an In filter (row-group skipping)
-    — the same k-bounded payload-fetch shape as plans/query.search —
-    instead of joining the scan against the whole BM25 subtree."""
+    vectors in tests/test_spans.py). Winners come from the PREBUILT
+    compressed index (plans/query.score_topk over partition-pruned
+    posting blocks) instead of re-running the 4-scan relational BM25
+    spec — identical winner set on this corpus (the index tokenizes
+    normalized text; normalization is the identity on the artifact-free
+    fixture — equality with the relational path pinned in
+    tests/test_spans.py). Winner ids (k rows) are then pushed into the
+    docs scan as an In filter, the same k-bounded payload-fetch shape
+    as plans/query.search."""
     from semantic_pdf_search_engine_spark.operators.spans import refine_spans
+    from semantic_pdf_search_engine_spark.plans.query import score_topk
 
-    winner_ids = [
+    idx = _doc_index(spark, sf_dir)
+    winners = [
         r["doc_id"]
-        for r in bm25.bm25_topk(
-            _docs(spark, sf_dir), FLAGSHIP_QUERY, DEFAULT_TOP_K
-        ).collect()
+        for r in score_topk(idx, FLAGSHIP_QUERY, DEFAULT_TOP_K).collect()
+    ]
+    orig_ids = [
+        r["orig_doc_id"]
+        for r in idx.fetch_docs(winners).select("orig_doc_id").collect()
     ]
     hits = _docs(spark, sf_dir).select("doc_id", "text").filter(
-        F.col("doc_id").isin(winner_ids)
+        F.col("doc_id").isin(orig_ids)
     )
     refined = refine_spans(hits, "filter window")
     return refined.select(

@@ -92,3 +92,55 @@ def test_exact_spans_matches_fuzzy_find_exact_path():
     assert n == (len(hay) - len(hay.replace(needle, ""))) // plen
     assert first == hay.find(needle)
     assert last == len(hay) - (hay[::-1].find(needle[::-1])) - plen
+
+
+def test_fuzzy_spans_index_backed_matches_relational(spark, sf_dir, tmp_path, monkeypatch):
+    """q_fuzzy_spans sources its winners from the prebuilt compressed
+    index (plans/query.score_topk); output must be IDENTICAL to the
+    relational-BM25 formulation it replaced — the rank-identity
+    invariant extended through the span pipeline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark import registry
+    from semantic_pdf_search_engine_spark.config import DEFAULT_TOP_K
+    from semantic_pdf_search_engine_spark.operators import bm25
+    from semantic_pdf_search_engine_spark.operators.spans import refine_spans
+
+    monkeypatch.setenv("SPSE_INDEX_CACHE", str(tmp_path / "idxcache"))
+
+    got = {
+        (r["doc_id"], r["n_matches"], r["best_score"])
+        for r in registry.q_fuzzy_spans(spark, sf_dir).collect()
+    }
+
+    # the old relational formulation, inline
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    winner_ids = [
+        r["doc_id"]
+        for r in bm25.bm25_topk(
+            docs, registry.FLAGSHIP_QUERY, DEFAULT_TOP_K
+        ).collect()
+    ]
+    hits = docs.select("doc_id", "text").filter(F.col("doc_id").isin(winner_ids))
+    want = {
+        (r["doc_id"], r["n_matches"], r["best_score"])
+        for r in refine_spans(hits, "filter window")
+        .select(
+            "doc_id",
+            F.size("matches").alias("n_matches"),
+            F.round(
+                F.coalesce(F.array_max(F.col("matches.score")), F.lit(0.0)), 6
+            ).alias("best_score"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # second call serves from the cache (no rebuild): same answer
+    again = {
+        (r["doc_id"], r["n_matches"], r["best_score"])
+        for r in registry.q_fuzzy_spans(spark, sf_dir).collect()
+    }
+    assert again == got
