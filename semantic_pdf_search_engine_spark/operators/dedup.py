@@ -82,6 +82,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int = MAX_SHINGLE_DF,
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with token-3-gram Jaccard ≥ threshold.
 
@@ -91,13 +92,23 @@ def ngram_jaccard_pairs(
     same), capping worst-case fanout at max_shingle_df² per shingle.
 
     The exploded shingle table feeds FIVE plan consumers (sizes, df,
-    both join sides, intersection); localCheckpoint materializes it
-    once instead of re-tokenizing per consumer (blocks are freed by the
-    ContextCleaner when the result is GC'd). A production multi-pass
-    dedup job would write this table to parquet instead — same shape,
-    executor-loss-safe.
+    both join sides, intersection), so it is materialized once instead
+    of re-tokenizing per consumer. Two modes:
+
+    * `materialize_dir=None` (default, interactive): localCheckpoint —
+      fast, blocks freed by the ContextCleaner, but lineage-free
+      (executor loss invalidates blocks; fine in local mode).
+    * `materialize_dir=<path>` (the production multi-pass shape): the
+      shingle table is WRITTEN TO PARQUET and read back — executor-
+      loss-safe, restart-resumable, and inspectable; equality with the
+      checkpoint mode is pinned in tests/test_dedup.py.
     """
-    sh = doc_shingles(docs, id_col, text_col).localCheckpoint()
+    sh = doc_shingles(docs, id_col, text_col)
+    if materialize_dir is not None:
+        sh.write.mode("overwrite").parquet(materialize_dir)
+        sh = docs.sparkSession.read.parquet(materialize_dir)
+    else:
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sh_df"))
     sh_cold = sh.join(

@@ -299,15 +299,9 @@ def band_planes(
     )
 
 
-def band_assign(
-    emb: DataFrame,
-    planes3: np.ndarray,
-    vec_col: str = "embedding",
-    out_col: str = "_band_keys",
-) -> DataFrame:
-    """Add ARRAY<LONG> of per-band bucket keys (band index folded into
-    the key's high bits so one explode+equality-join covers all bands).
-    One Arrow matmul per batch — no per-row JVM dot products."""
+def _band_keys_udf(planes3: np.ndarray):
+    """Arrow UDF: vector → ARRAY<LONG> of per-band bucket keys (band
+    index folded into the key's high bits). One matmul per batch."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
 
@@ -322,9 +316,19 @@ def band_assign(
         keys = (bits @ weights) + band_tag
         return pd.Series(list(keys.astype("int64")))
 
-    _keys = F.pandas_udf(_keys, ArrayType(LongType()))
+    return F.pandas_udf(_keys, ArrayType(LongType()))
 
-    return emb.withColumn(out_col, _keys(F.col(vec_col)))
+
+def band_assign(
+    emb: DataFrame,
+    planes3: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "_band_keys",
+) -> DataFrame:
+    """Add ARRAY<LONG> of per-band bucket keys (one explode+equality-
+    join covers all bands). One Arrow matmul per batch — no per-row JVM
+    dot products."""
+    return emb.withColumn(out_col, _band_keys_udf(planes3)(F.col(vec_col)))
 
 
 DEFAULT_MAX_BAND_DF = 100_000
@@ -385,8 +389,12 @@ def embedding_neardup_lsh_pairs(
         return emb.sparkSession.createDataFrame([], "a long, b long, sim double")
     dim = len(first[0])
     planes3 = band_planes(dim, n_bands, band_bits, seed)
-    keyed = band_assign(emb, planes3, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.explode("_band_keys").alias("bk")
+    # explode(udf(...)) directly — the assign-then-explode form leaves a
+    # dead second ArrowEvalPython in the plan (UDF evaluated twice)
+    keyed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_band_keys_udf(planes3)(F.col(vec_col))).alias("bk"),
     )
     if max_band_df is not None:
         hot = (

@@ -342,8 +342,11 @@ def lsh_probe_assign(
 
     _probes = F.pandas_udf(_probes, ArrayType(LongType()))
 
-    return queries.withColumn("_probes", _probes(F.col(q_vec_col))).select(
-        *queries.columns, F.explode("_probes").alias(out_col)
+    # explode(udf(...)) DIRECTLY: the withColumn-then-explode form left
+    # a second, dead ArrowEvalPython in the physical plan (the UDF ran
+    # twice per query batch — verified by plan count)
+    return queries.select(
+        *queries.columns, F.explode(_probes(F.col(q_vec_col))).alias(out_col)
     )
 
 
@@ -370,8 +373,8 @@ def ivf_probe_assign(
 
     _probes = F.pandas_udf(_probes, ArrayType(IntegerType()))
 
-    return queries.withColumn("_probes", _probes(F.col(q_vec_col))).select(
-        *queries.columns, F.explode("_probes").alias(out_col)
+    return queries.select(
+        *queries.columns, F.explode(_probes(F.col(q_vec_col))).alias(out_col)
     )
 
 

@@ -115,6 +115,22 @@ def test_minhash_signature_match_probability(spark):
         assert 0.0 <= p <= 1.0
 
 
+def test_ngram_jaccard_materialized_equals_checkpoint(spark, planted, tmp_path):
+    """The production-shaped parquet-materialized shingle table must
+    give the identical pair set as the localCheckpoint fast path."""
+    chk = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(planted, threshold=0.3).collect()
+    }
+    mat = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            planted, threshold=0.3, materialize_dir=str(tmp_path / "sh")
+        ).collect()
+    }
+    assert mat == chk and len(mat) > 0
+
+
 def test_minhash_prod_banding_probability(spark):
     """Certify the PRODUCTION banding configuration (64 perms / 16
     bands, r=4): P(candidate | shingle-Jaccard J) must track the
