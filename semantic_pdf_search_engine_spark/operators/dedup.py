@@ -145,29 +145,47 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_perms: int = N_MINHASH,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """(doc_id, sig_1..sig_N): min md5('{i}:'||shingle) per hash i.
+    """(doc_id, sig_1..sig_N): one min-hash signature per permutation.
 
-    One Arrow pass per batch: tokenize + shingle + hashlib md5 in
-    Python (C-backed), min per permutation. The previous pure-Column
-    form re-evaluated the whole shingles_expr expression tree once PER
+    One Arrow pass per batch: tokenize + shingle + hash in Python
+    (C-backed), min per permutation. The previous pure-Column form
+    re-evaluated the whole shingles_expr expression tree once PER
     SIGNATURE (Catalyst does not CSE across projection items through
     higher-order functions), making signatures the dominant cost of the
-    minhash suite entry (17.6 s at sf0.1 → ~1 s here). Byte semantics
-    are pinned to the DuckDB twin: md5(utf-8('{i}:' || shingle)),
-    minimum by LEXICOGRAPHIC hex-string order."""
+    minhash suite entry (17.6 s at sf0.1 → ~1 s here).
+
+    hash_family:
+    * 'md5' — the ORACLE family: sig_i = min md5('{i}:'||shingle) by
+      lexicographic hex order, byte-pinned to the DuckDB twin. Cost is
+      n_perms full md5 calls per shingle — right for the 4-perm demo,
+      the dominant cost at production n_perms=64.
+    * 'universal' — the PRODUCTION family: ONE md5 per shingle (its
+      first 8 bytes as uint64), then all permutations as seeded
+      multiply-shift universal hashes (a_i·h + b_i mod 2⁶⁴, odd a_i) in
+      a single numpy broadcast — n_perms× fewer digests, same banding
+      statistics (certified by the banding-probability test at 64/16).
+      Signatures are 16-hex-digit strings (band concat unchanged)."""
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
     from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
 
+    if hash_family not in ("md5", "universal"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     id_type = docs.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, " + ", ".join(
         f"sig_{i} string" for i in range(1, n_perms + 1)
     )
     prefixes = [f"{i}:".encode() for i in range(1, n_perms + 1)]
     n = SHINGLE_N
+    if hash_family == "universal":
+        rng = np.random.default_rng(20260816)
+        pa = (rng.integers(1, 2**62, size=n_perms, dtype=np.uint64) * 2 + 1)[:, None]
+        pb = rng.integers(0, 2**63, size=n_perms, dtype=np.uint64)[:, None]
 
     def gen(batches):
         for pdf in batches:
@@ -183,10 +201,19 @@ def minhash_signatures(
                     for j in range(len(toks) - n + 1)
                 }
                 ids.append(did)
-                for i, pref in enumerate(prefixes):
-                    sig_cols[i].append(
-                        min(hashlib.md5(pref + s).hexdigest() for s in shingles)
-                    )
+                if hash_family == "md5":
+                    for i, pref in enumerate(prefixes):
+                        sig_cols[i].append(
+                            min(hashlib.md5(pref + s).hexdigest() for s in shingles)
+                        )
+                else:
+                    h = np.frombuffer(
+                        b"".join(hashlib.md5(s).digest()[:8] for s in shingles),
+                        dtype=">u8",
+                    ).astype(np.uint64)
+                    mins = (pa * h[None, :] + pb).min(axis=1)  # uint64 wrap
+                    for i in range(n_perms):
+                        sig_cols[i].append(format(int(mins[i]), "016x"))
             out = {id_col: pd.Series(ids, dtype=pdf[id_col].dtype)}
             for i in range(n_perms):
                 out[f"sig_{i + 1}"] = sig_cols[i]
@@ -201,31 +228,39 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n_perms: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b) that agree on ≥1 LSH band
     (band = concatenation of n_perms/n_bands signatures).
 
     Defaults stay at the oracle-twinned demo params (4 perms / 2
-    bands); production near-dup at 100 TB wants n_perms=64, n_bands=16
-    (r=4 rows/band → candidate threshold s ≈ (1/16)^(1/4) ≈ 0.5) — the
-    shuffle stays (doc, band) shaped at any param setting."""
+    bands, md5 family); production near-dup at 100 TB wants
+    n_perms=64, n_bands=16, hash_family='universal' (one md5 per
+    shingle + multiply-shift permutations; r=4 rows/band → candidate
+    threshold s ≈ (1/16)^(1/4) ≈ 0.5) — the shuffle stays (doc, band)
+    shaped at any parameter setting."""
     if n_perms % n_bands:
         raise ValueError("n_perms must be divisible by n_bands")
-    sigs = minhash_signatures(docs, id_col, text_col, n_perms)
+    # materialize signatures ONCE: the banded self-join has 2·n_bands
+    # plan consumers of this subtree (each band branch × both join
+    # sides) — without a barrier the signature UDF re-runs per consumer
+    # (32× at production 16 bands; same rationale as ngram_jaccard's
+    # shingle table). One explode replaces the n_bands-way union.
+    sigs = minhash_signatures(docs, id_col, text_col, n_perms, hash_family)
+    sigs = sigs.localCheckpoint()
     per_band = n_perms // n_bands
-    bands = []
+    band_structs = []
     for bidx in range(n_bands):
         parts = [F.col(f"sig_{bidx * per_band + j + 1}") for j in range(per_band)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(bidx).alias("band_idx"),
                 F.concat_ws("|", *parts).alias("band_val"),
             )
         )
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, "_b.band_idx", "_b.band_val")
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_idx", "band_val"])

@@ -159,14 +159,32 @@ def score_topk(
         meta = qblocks.groupBy("stripe_id").agg(
             F.sum(ub).alias("ub"), F.max(lb).alias("lb")
         )
-        top_lbs = [r["lb"] for r in meta.orderBy(F.col("lb").desc()).limit(k).collect()]
-        if len(top_lbs) >= k:
-            # 1-ulp guard: the JVM computes lb, numpy computes the real
-            # scores — shave a relative epsilon so a last-place tie can
-            # never be pruned by cross-runtime rounding
-            threshold = top_lbs[-1] * (1.0 - 1e-12)
-            kept = meta.filter(F.col("ub") >= threshold).select("stripe_id")
-            qblocks = qblocks.join(F.broadcast(kept), "stripe_id")
+        # the threshold T (k-th largest stripe lb) stays IN-PLAN as a
+        # 1-row broadcast instead of a driver collect: score_topk is
+        # then ONE scheduled Spark job per query, not two — scheduling
+        # round-trips dominate warm-index latency at serving scale.
+        # n < k ⇒ fewer than k stripes have an achievable lb ⇒ no valid
+        # threshold exists and nothing is pruned (same semantics as the
+        # old len(top_lbs) >= k driver check). The 1e-12 relative shave
+        # is the cross-runtime (JVM lb vs numpy scores) 1-ulp guard.
+        kth = (
+            meta.select("lb")
+            .orderBy(F.col("lb").desc())
+            .limit(k)
+            .agg(
+                F.min("lb").alias("_t"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        kept = (
+            meta.join(F.broadcast(kth))
+            .filter(
+                (F.col("_n") < k)
+                | (F.col("ub") >= F.col("_t") * (1.0 - 1e-12))
+            )
+            .select("stripe_id")
+        )
+        qblocks = qblocks.join(F.broadcast(kept), "stripe_id")
 
     stripe_docs = index.stripe_docs
     avgdl = index.avgdl

@@ -226,17 +226,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding at the PRODUCTION parameters (64 permutations /
-    16 bands, r=4 rows per band → candidate threshold s ≈ 0.45): the
-    configuration a 100 TB near-dup pass would run, vs the 4/2 demo
-    whose tiny signature space has an exact DuckDB twin. Rows-only
-    (banding is probabilistic); the banding-probability curve
-    1−(1−J⁴)¹⁶ is certified in tests/test_dedup.py
+    16 bands, r=4 rows per band → candidate threshold s ≈ 0.45,
+    'universal' hash family: ONE md5 per shingle + multiply-shift
+    permutations in a numpy broadcast — n_perms× fewer digests than the
+    oracle family): the configuration a 100 TB near-dup pass would run,
+    vs the 4/2 demo whose tiny signature space has an exact DuckDB
+    twin. Rows-only (banding is probabilistic); the banding-probability
+    curve 1−(1−J⁴)¹⁶ is certified in tests/test_dedup.py
     (test_minhash_prod_banding_probability). Shuffle stays (doc, band)
     shaped at any parameter setting."""
     from semantic_pdf_search_engine_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _PAIR_BOUND)
-    return minhash_lsh_pairs(docs, n_perms=64, n_bands=16)
+    return minhash_lsh_pairs(docs, n_perms=64, n_bands=16, hash_family="universal")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

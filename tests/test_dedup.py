@@ -170,7 +170,9 @@ def test_minhash_prod_banding_probability(spark):
 
     got = {
         (r["a"], r["b"])
-        for r in minhash_lsh_pairs(docs, n_perms=64, n_bands=16).collect()
+        for r in minhash_lsh_pairs(
+            docs, n_perms=64, n_bands=16, hash_family="universal"
+        ).collect()
     }
     assert all(b == a + 1 for a, b in got), "cross-pair candidate (J=0) emitted"
 
