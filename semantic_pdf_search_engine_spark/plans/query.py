@@ -159,27 +159,29 @@ def score_topk(
         meta = qblocks.groupBy("stripe_id").agg(
             F.sum(ub).alias("ub"), F.max(lb).alias("lb")
         )
-        # the threshold T (k-th largest stripe lb) stays IN-PLAN as a
-        # 1-row broadcast instead of a driver collect: score_topk is
-        # then ONE scheduled Spark job per query, not two — scheduling
-        # round-trips dominate warm-index latency at serving scale.
-        # n < k ⇒ fewer than k stripes have an achievable lb ⇒ no valid
-        # threshold exists and nothing is pruned (same semantics as the
-        # old len(top_lbs) >= k driver check). The 1e-12 relative shave
-        # is the cross-runtime (JVM lb vs numpy scores) 1-ulp guard.
-        kth = (
-            meta.select("lb")
-            .orderBy(F.col("lb").desc())
-            .limit(k)
-            .agg(
-                F.min("lb").alias("_t"),
-                F.count(F.lit(1)).alias("_n"),
-            )
+        # the threshold T (k-th largest stripe lb) stays IN-PLAN instead
+        # of a driver collect — no Python round-trip + second plan
+        # compile per query, and meta is computed ONCE: T comes from two
+        # windows over the stripe-METADATA rows (#stripes rows — a
+        # single-partition sort of a tiny set, same data the old code
+        # collected). _t is NULL when fewer than k stripes exist ⇒ no
+        # valid threshold ⇒ nothing pruned (the old len(top_lbs) >= k
+        # driver check). The 1e-12 relative shave is the cross-runtime
+        # (JVM lb vs numpy scores) 1-ulp guard.
+        from pyspark.sql.window import Window
+
+        rnk = F.row_number().over(Window.orderBy(F.col("lb").desc()))
+        wall = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
         kept = (
-            meta.join(F.broadcast(kth))
+            meta.withColumn("_r", rnk)
+            .withColumn(
+                "_t",
+                F.max(F.when(F.col("_r") == k, F.col("lb"))).over(wall),
+            )
             .filter(
-                (F.col("_n") < k)
+                F.col("_t").isNull()
                 | (F.col("ub") >= F.col("_t") * (1.0 - 1e-12))
             )
             .select("stripe_id")
