@@ -128,3 +128,21 @@ def test_scoped_search_matches_oracle(spark, index, oracle):
 
 def test_scoped_search_missing_conv(spark, index):
     assert score_topk(index, make_queries(3)[2], K, conv_id="convNOPE").count() == 0
+
+
+def test_batch_equals_single_query(spark, index):
+    """score_topk_batch must return, per query, EXACTLY the single-query
+    score_topk answer (ids and scores) — pruned and unpruned — with
+    empty/absent queries simply absent from the output."""
+    from semantic_pdf_search_engine_spark.plans.query import score_topk_batch
+
+    queries = make_queries(12)[::2] + ["", "zzzzabsent"]
+    for prune in (True, False):
+        got: dict[int, list] = {}
+        rows = score_topk_batch(index, queries, 10, prune=prune).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        for qi, q in enumerate(queries):
+            want = _topk(score_topk(index, q, 10, prune=prune))
+            have = sorted(got.get(qi, []), key=lambda t: (-t[1], t[0]))
+            assert have == sorted(want, key=lambda t: (-t[1], t[0])), (prune, q)
