@@ -566,6 +566,41 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE as-of join (operators/temporal.asof_join_bucketed:
+    per-(key, time-bucket) windows + aggregated carry-in seed — a hot
+    key is sorted by many tasks, not one) on the same clicks/purchases
+    shape as events_asof. The bucketed plan is EXACT, so it shares the
+    DuckDB ASOF hard oracle — the driver itself verifies the skew
+    variant's equality, not just pytest."""
+    from pyspark.sql.window import Window
+
+    from semantic_pdf_search_engine_spark.operators.temporal import asof_join_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    j = asof_join_bucketed(
+        clicks, purchases, by=("user_id",), right_cols=("event_id", "value"),
+        bucket_sec=86400,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("r_event_id"), F.lit(-1)).cast("long").alias("p_event_id"),
+        F.round(F.coalesce(F.col("r_value"), F.lit(0.0)), 6).alias("p_value"),
+    )
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: clicks paired with same-user purchases within ±5
     minutes — binned equality join (no per-key cartesian), exact |dt|
@@ -879,6 +914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_rank": q_events_daily_rank,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
+    "events_asof_skew": q_events_asof_skew,
     "events_range_join": q_events_range_join,
     "distinct_kmv": q_distinct_kmv,
     "events_percentiles": q_events_percentiles,
@@ -1225,6 +1261,9 @@ FROM d
 """,
     }
 )
+# the bucketed as-of plan is exact → it shares events_asof's hard oracle
+ORACLE_SQL["events_asof_skew"] = ORACLE_SQL["events_asof"]
+
 # hex-nibble → byte value, portable across Spark/DuckDB (no conv() in DuckDB)
 _NIBBLE = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
 
