@@ -11,6 +11,9 @@ Usage (local or `spark-submit --py-files engine.zip cli.py ...`):
     python -m semantic_pdf_search_engine_spark.cli append --input new.parquet --index /path/index
     python -m semantic_pdf_search_engine_spark.cli compact --index /path/index
     python -m semantic_pdf_search_engine_spark.cli build-ann --input emb.parquet --ann /path/ann
+    python -m semantic_pdf_search_engine_spark.cli query-batch --index /path/index --queries qs.txt
+    python -m semantic_pdf_search_engine_spark.cli knn-join --ann /path/ann \
+        --queries q.parquet --variant lsh --out /path/out
 
 `build-index` resumes from the manifest by default (the durable version
 of the reference's ready-set polling, upload.rs:52-70 / ready.rs:13-23).
@@ -58,6 +61,29 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--ann", required=True, help="ANN store output dir")
     an.add_argument("--planes", type=int, default=8)
     an.add_argument("--centroids", type=int, default=16)
+
+    qb = sub.add_parser(
+        "query-batch", help="top-k for MANY queries in one job (score_topk_batch)"
+    )
+    qb.add_argument("--index", required=True)
+    qb.add_argument(
+        "--queries", required=True, help="text file, one query per line"
+    )
+    qb.add_argument("--k", type=int, default=10)
+
+    kj = sub.add_parser(
+        "knn-join",
+        help="batch ANN k-NN join: queries parquet x materialized store "
+        "(distributed cogroup path, no driver collect)",
+    )
+    kj.add_argument("--ann", required=True, help="ANN store dir")
+    kj.add_argument(
+        "--queries", required=True,
+        help="parquet with (q_id long, q_vec array<float>) columns",
+    )
+    kj.add_argument("--k", type=int, default=10)
+    kj.add_argument("--variant", default="lsh", choices=["lsh", "ivf"])
+    kj.add_argument("--out", required=True, help="output parquet path")
 
     args = p.parse_args(argv)
 
@@ -145,6 +171,41 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps({"n_rows": ai.n_rows, "wall_sec": round(time.time() - t0, 2)})
         )
+    elif args.cmd == "query-batch":
+        from semantic_pdf_search_engine_spark.plans.query import score_topk_batch
+        from semantic_pdf_search_engine_spark.sources.index_store import load_index
+
+        with open(args.queries) as f:
+            queries = [line.rstrip("\n") for line in f if line.strip()]
+        idx = load_index(spark, args.index)
+        t0 = time.time()
+        rows = score_topk_batch(idx, queries, args.k).collect()
+        wall = time.time() - t0
+        for row in rows:
+            print(json.dumps(row.asDict()))
+        print(
+            json.dumps(
+                {
+                    "n_queries": len(queries),
+                    "wall_sec": round(wall, 3),
+                    "per_query_sec": round(wall / max(1, len(queries)), 4),
+                }
+            ),
+            file=sys.stderr,
+        )
+    elif args.cmd == "knn-join":
+        from semantic_pdf_search_engine_spark.sources.ann_store import (
+            knn_join_ivf_dist,
+            knn_join_lsh_dist,
+            load_ann_index,
+        )
+
+        ai = load_ann_index(spark, args.ann)
+        queries = spark.read.parquet(args.queries)
+        fn = knn_join_lsh_dist if args.variant == "lsh" else knn_join_ivf_dist
+        t0 = time.time()
+        fn(ai, queries, k=args.k).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "wall_sec": round(time.time() - t0, 2)}))
     elif args.cmd == "bench":
         import statistics
 
