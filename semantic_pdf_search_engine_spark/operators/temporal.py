@@ -198,6 +198,44 @@ def asof_join_bucketed(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    ts_col: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Add (session_id, session_seq): classic gaps-and-islands
+    sessionization — a new session starts whenever the gap to the
+    previous event in the same `by` group exceeds gap_sec. session_id
+    is 0-based per key in time order; session_seq is the 0-based event
+    position within its session. Deterministic under the (ts, id)
+    ordering; fractional-epoch arithmetic (same rationale as
+    range_join_binned). Fully SQL-expressible (lag + windowed sum) →
+    hard DuckDB oracle in the registry.
+
+    Cost: ONE shuffle + per-key window sort — the same plan/skew
+    profile as asof_join (a hot key sorts in one task; the
+    asof_join_bucketed carry pattern applies if that ever binds, with
+    per-bucket session counts prefix-summed over the bucket spine)."""
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_sec), F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = events.withColumn("_ns", new_session).withColumn(
+        "session_id", (F.sum("_ns").over(wrun) - 1).cast("long")
+    )
+    wsess = Window.partitionBy(*by, "session_id").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(
+        "session_seq", (F.row_number().over(wsess) - 1).cast("long")
+    ).drop("_ns")
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -623,6 +623,41 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (operators/temporal.sessionize):
+    per-user sessions at a 30-minute gap, 0-based session ids and
+    in-session sequence — exact integer output, hard DuckDB oracle
+    (lag + windowed sum twin)."""
+    from semantic_pdf_search_engine_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    return sessionize(ev, gap_sec=1800).select(
+        "event_id", "user_id", "session_id", "session_seq"
+    )
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by hashing the DOC ID
+    (operators/traindata.assign_split — md5-bucket thresholds, not
+    rand(): the split survives reruns, engines, partitionings and
+    corpus growth). Pure Column expr, hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import assign_split
+
+    return assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary under the pinned tokenizer: (term, df,
+    tf_total, vocab_id) ranked by collection frequency with a min_df=2
+    floor (operators/traindata.build_vocab) — the id-assignment step in
+    front of count-based tokenizer training. Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir), min_df=2)
+
+
 KMV_K = 64
 
 
@@ -915,6 +950,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
     "events_asof_skew": q_events_asof_skew,
+    "events_sessionize": q_events_sessionize,
+    "train_split": q_train_split,
+    "vocab_build": q_vocab_build,
     "events_range_join": q_events_range_join,
     "distinct_kmv": q_distinct_kmv,
     "events_percentiles": q_events_percentiles,
@@ -1264,6 +1302,40 @@ FROM d
 # the bucketed as-of plan is exact → it shares events_asof's hard oracle
 ORACLE_SQL["events_asof_skew"] = ORACLE_SQL["events_asof"]
 
+ORACLE_SQL["events_sessionize"] = """
+WITH l AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT event_id, user_id, ts,
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM l
+)
+SELECT event_id, user_id, session_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) - 1 AS BIGINT) AS session_seq
+FROM s
+"""
+
+ORACLE_SQL["vocab_build"] = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+agg AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_total
+    FROM tf GROUP BY term
+)
+SELECT term, df, tf_total,
+       CAST(ROW_NUMBER() OVER (ORDER BY tf_total DESC, term ASC) - 1 AS BIGINT) AS vocab_id
+FROM agg WHERE df >= 2
+"""
+
 # hex-nibble → byte value, portable across Spark/DuckDB (no conv() in DuckDB)
 _NIBBLE = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
 
@@ -1339,6 +1411,23 @@ SELECT s.event_type, s.n_true,
        ROUND(CASE WHEN kth.vk IS NOT NULL THEN 63.0 * 4294967296.0 / kth.vk
                   ELSE CAST(s.n_true AS DOUBLE) END, 6) AS kmv_estimate
 FROM s LEFT JOIN kth USING (event_type)
+"""
+
+_SPLIT_H = "md5(CAST(doc_id AS VARCHAR))"
+_SPLIT_B = (
+    f"({_byte(_SPLIT_H, 0)}::BIGINT * 16777216 "
+    f"+ {_byte(_SPLIT_H, 1)} * 65536 "
+    f"+ {_byte(_SPLIT_H, 2)} * 256 "
+    f"+ {_byte(_SPLIT_H, 3)}) % 10000"
+)
+
+ORACLE_SQL["train_split"] = f"""
+WITH h AS (SELECT doc_id, {_SPLIT_B} AS b FROM documents)
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
 """
 
 ORACLE_SQL["token_stats"] = f"""

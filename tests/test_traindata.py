@@ -1,0 +1,94 @@
+"""Sessionization + deterministic split + vocab: edge behaviors beyond
+the oracle parity the driver checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.operators.temporal import sessionize
+from semantic_pdf_search_engine_spark.operators.traindata import (
+    SPLIT_BUCKETS,
+    assign_split,
+    build_vocab,
+)
+
+
+def T(s):
+    return dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(seconds=s)
+
+
+def test_sessionize_gap_boundary(spark):
+    """gap == gap_sec stays in the SAME session; gap_sec + epsilon
+    starts a new one (strict >); per-key isolation; seq restarts."""
+    rows = [
+        (1, 7, T(0)),
+        (2, 7, T(1800)),     # exactly the gap: same session
+        (3, 7, T(3600)),     # again exactly: still session 0
+        (4, 7, T(5401)),     # 1801s after: NEW session
+        (5, 8, T(0)),        # other key: its own session 0
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: (r["session_id"], r["session_seq"])
+        for r in sessionize(ev, gap_sec=1800).collect()
+    }
+    assert got[1] == (0, 0) and got[2] == (0, 1) and got[3] == (0, 2)
+    assert got[4] == (1, 0)
+    assert got[5] == (0, 0)
+
+
+def test_sessionize_subsecond_gap(spark):
+    """Fractional-epoch arithmetic: a gap of gap_sec + 0.5s must open a
+    new session (whole-second flooring would miss it)."""
+    rows = [(1, 7, T(0)), (2, 7, T(10) + dt.timedelta(milliseconds=500))]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(ev, gap_sec=10).collect()
+    }
+    assert got[1] == 0 and got[2] == 1
+
+
+def test_assign_split_deterministic_and_stable(spark):
+    """Same id → same split regardless of corpus contents or
+    partitioning; proportions track the weights; appending documents
+    never moves an existing doc's split (eval-contamination guard)."""
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs.repartition(13)).collect()
+    }
+    assert a == b
+    grown = spark.range(0, 8000).withColumnRenamed("id", "doc_id")
+    g = {r["doc_id"]: r["split"] for r in assign_split(grown).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 4000 - 0.9) < 0.03
+    assert abs(c["val"] / 4000 - 0.05) < 0.02
+    assert abs(c["test"] / 4000 - 0.05) < 0.02
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(docs, weights={"train": 0.5, "val": 0.1})
+
+
+def test_build_vocab_ranking_and_floor(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha alpha alpha beta beta gamma"),
+            (1, "alpha beta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    v = {r["term"]: r for r in build_vocab(docs, min_df=1).collect()}
+    assert v["alpha"]["vocab_id"] == 0 and v["alpha"]["tf_total"] == 4
+    assert v["beta"]["vocab_id"] == 1 and v["beta"]["df"] == 2
+    # tie on tf_total=1 between gamma/delta → term-asc order
+    assert v["delta"]["vocab_id"] == 2 and v["gamma"]["vocab_id"] == 3
+    v2 = {r["term"] for r in build_vocab(docs, min_df=2).collect()}
+    assert v2 == {"alpha", "beta"}  # the OOV floor drops df=1 terms
