@@ -54,6 +54,74 @@ def windowed_turn_stats(
     )
 
 
+def session_window_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """(session_start, session_end, key, n_events): SESSION windows via
+    Spark's native `F.session_window` — the idiomatic Structured
+    Streaming sessionizer (state merges adjacent windows while events
+    keep arriving within `gap`; the watermark finalizes a session once
+    no event can extend it). Works identically on a batch DataFrame.
+
+    Semantics note vs operators/temporal.sessionize (the batch
+    gaps-and-islands form): both split at gap boundaries with the SAME
+    strict-inequality semantics, so per (key, session): session_start
+    == min(ts) and n_events match exactly (pinned by test);
+    session_window's `end` is last_event + gap (Spark's definition)
+    while sessionize carries event-level ids/seqs — use sessionize when
+    every event needs its session label, session_window for windowed
+    aggregates and streaming."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def start_session_stats(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    key_col: str = "user_id",
+):
+    """File stream → watermarked SESSION windows → append-mode parquet.
+    A session row is emitted once the watermark passes last_event + gap
+    (no later event can extend it) — streaming sessionization with
+    bounded state (open sessions only), the native-Spark twin of the
+    batch gaps-and-islands operator."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = session_window_stats(stream, gap, watermark_delay, key_col=key_col)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_windowed_stats(
     spark: SparkSession,
     input_dir: str,

@@ -327,3 +327,76 @@ def test_resize_plan(spark):
     assert rows[2]["scale"] == 1.0
     assert (rows[3]["out_w"], rows[3]["out_h"]) == (112, 224)
     assert (rows[4]["out_w"], rows[4]["out_h"]) == (224, 224)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Native session windows under a watermark: events within the gap
+    MERGE across micro-batches, a session finalizes (append mode) once
+    the watermark passes last_event + gap, and the emitted sessions
+    match the batch gaps-and-islands operator run over the same rows."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.operators.temporal import sessionize
+    from semantic_pdf_search_engine_spark.streaming.windows import (
+        start_session_stats,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp"
+    inp = tmp_path / "sin"
+    inp.mkdir()
+
+    def T(h, m):
+        return dt.datetime(2026, 1, 1, h, m, tzinfo=dt.timezone.utc)
+
+    def land(rows, name, mtime):
+        stage = tmp_path / f"sstage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = inp / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # user 7: one session spanning TWO micro-batches (10:00, 10:20 |
+    # 10:40), then a separate later session; user 8: a lone event
+    land([(1, 7, T(10, 0)), (2, 7, T(10, 20)), (10, 8, T(10, 5))], "b1", 1_000_000)
+    land([(3, 7, T(10, 40))], "b2", 1_000_100)
+    land([(4, 7, T(13, 0))], "b3", 1_000_200)
+    # flush: push the watermark far past every session's end
+    land([(99, 9, T(20, 0))], "b4", 1_000_300)
+
+    q = start_session_stats(
+        spark, str(inp), str(tmp_path / "sout"), str(tmp_path / "sckpt"),
+        schema, gap="30 minutes",
+    )
+    assert q.awaitTermination(180)
+
+    out = spark.read.parquet(str(tmp_path / "sout"))
+    got = {
+        (r["user_id"], r["session_start"].replace(tzinfo=dt.timezone.utc),
+         r["n_events"])
+        for r in out.collect()
+    }
+    # the cross-batch session merged into ONE row of 3 events
+    assert (7, T(10, 0), 3) in got
+    assert (7, T(13, 0), 1) in got
+    assert (8, T(10, 5), 1) in got
+
+    # parity with the batch operator over the same rows (flush row may
+    # or may not have finalized — compare only finalized users 7/8)
+    all_rows = spark.read.parquet(str(inp))
+    batch = (
+        sessionize(all_rows, gap_sec=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    want = {
+        (r["user_id"], r["session_start"].replace(tzinfo=dt.timezone.utc),
+         r["n_events"])
+        for r in batch.collect()
+        if r["user_id"] in (7, 8)
+    }
+    assert {g for g in got if g[0] in (7, 8)} == want

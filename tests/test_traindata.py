@@ -92,3 +92,42 @@ def test_build_vocab_ranking_and_floor(spark):
     assert v["delta"]["vocab_id"] == 2 and v["gamma"]["vocab_id"] == 3
     v2 = {r["term"] for r in build_vocab(docs, min_df=2).collect()}
     assert v2 == {"alpha", "beta"}  # the OOV floor drops df=1 terms
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Internal consistency: the hand-rolled gaps-and-islands sessionize
+    and Spark's built-in F.session_window must carve IDENTICAL sessions
+    — same (key, start=min ts, n_events) set, including at the exact
+    gap boundary (both merge at gap == G, split at > G) — on the real
+    events fixture plus boundary probes."""
+    from semantic_pdf_search_engine_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    probes = spark.createDataFrame(
+        [
+            (900001, 999901, T(0)),
+            (900002, 999901, T(1800)),   # exact boundary: merges
+            (900003, 999901, T(3601)),   # > gap: splits
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ev = ev.unionByName(probes)
+
+    ours = (
+        sessionize(ev, gap_sec=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    ours_set = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in ours.collect()
+    }
+    native = session_window_stats(ev, gap="1800 seconds")
+    native_set = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in native.collect()
+    }
+    assert ours_set == native_set and len(ours_set) > 10
