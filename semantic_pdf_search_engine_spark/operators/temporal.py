@@ -236,6 +236,104 @@ def sessionize(
     ).drop("_ns")
 
 
+def sessionize_bucketed(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    ts_col: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    id_col: str = "event_id",
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """`sessionize` with HOT-KEY SKEW handling — identical output
+    (pinned by test), but each key's events are windowed per
+    (key, time-bucket) with the cross-bucket state carried by a
+    bucket-spine prefix sum (the same decomposition as
+    asof_join_bucketed):
+
+      1. within each (key, bucket): internal new-session flags (first
+         row's flag deferred — it depends on the previous bucket) and a
+         local running count;
+      2. per-bucket aggregate (first_ts, last_ts, n_internal) feeds a
+         tiny per-key spine window (#buckets rows): resolve each
+         bucket's first-row flag against the previous bucket's last_ts
+         and prefix-sum sessions started in earlier buckets;
+      3. session_id = offset + first_flag + local_cum − 1, joined back
+         on (key, bucket).
+
+    session_seq is computed per (key, session_id) — parallel across
+    sessions; only a single never-gapping session spanning the whole
+    key would serialize that last step. Null-ts events each form their
+    own session (matching the base operator) via the null bucket, which
+    sorts first on the spine."""
+    reserved = {"_tbk", "_if", "_lc", "_ff", "_off", "session_id", "session_seq"}
+    collisions = [c for c in events.columns if c in reserved]
+    if collisions:
+        raise ValueError(
+            f"columns {collisions} collide with reserved names; rename first"
+        )
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    # null ts → a sentinel bucket BELOW every real bucket (it must sort
+    # first on the spine AND survive the equality join back — a NULL
+    # bucket key would never match itself under SQL join semantics)
+    _NULL_BUCKET = -(2**62)
+    e = events.withColumn(
+        "_tbk", F.coalesce(F.floor(epoch / bucket_sec), F.lit(_NULL_BUCKET))
+    )
+
+    wb = Window.partitionBy(*by, "_tbk").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = epoch - F.lag(epoch).over(wb)
+    # first row in bucket: lag null AND ts may be null — defer to spine;
+    # rows 2..n: new session iff gap > G, or gap null (null-ts runs)
+    internal = F.when(
+        F.lag(F.col(id_col)).over(wb).isNull(), F.lit(0)
+    ).otherwise(F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0))
+    e = e.withColumn("_if", internal).withColumn(
+        "_lc",
+        F.sum("_if").over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+    buckets = e.groupBy(*by, "_tbk").agg(
+        F.min(epoch).alias("_first"),
+        F.max(epoch).alias("_last"),
+        F.sum("_if").alias("_ni"),
+    )
+    ws = Window.partitionBy(*by).orderBy(F.col("_tbk").asc())
+    prev_last = F.lag("_last").over(ws)
+    first_flag = F.when(
+        prev_last.isNull()
+        | F.col("_first").isNull()
+        | ((F.col("_first") - prev_last) > gap_sec),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    spine = buckets.withColumn("_ff", first_flag).withColumn(
+        "_off",
+        F.coalesce(
+            F.sum(F.col("_ff") + F.col("_ni")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+
+    joined = e.join(
+        spine.select(*by, "_tbk", "_ff", "_off"), [*by, "_tbk"]
+    ).withColumn(
+        "session_id",
+        (F.col("_off") + F.col("_ff") + F.col("_lc") - 1).cast("long"),
+    )
+    wsess = Window.partitionBy(*by, "session_id").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn(
+            "session_seq", (F.row_number().over(wsess) - 1).cast("long")
+        )
+        .drop("_tbk", "_if", "_lc", "_ff", "_off")
+    )
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -131,3 +131,64 @@ def test_sessionize_agrees_with_native_session_window(spark):
         for r in native.collect()
     }
     assert ours_set == native_set and len(ours_set) > 10
+
+
+def test_sessionize_bucketed_equals_base_under_skew(spark):
+    """sessionize_bucketed must return EXACTLY sessionize's labels while
+    splitting a hot key across (key, time-bucket) window groups —
+    including sessions that span bucket boundaries, exact gap-boundary
+    events, sparse keys crossing many empty buckets, and null-ts rows
+    (each its own session, ordered first)."""
+    import random
+
+    from semantic_pdf_search_engine_spark.operators.temporal import (
+        sessionize_bucketed,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    # hot key 7: 4000 events over ~40 days (bucket = 1 day)
+    for _ in range(4000):
+        eid += 1
+        rows.append((eid, 7, T(rng.randrange(3_500_000))))
+    # key 8: session spanning a bucket boundary (events 10 min apart
+    # across midnight day 2)
+    base = 2 * 86400 - 300
+    for d in (0, 600, 1200):
+        eid += 1
+        rows.append((eid, 8, T(base + d)))
+    # key 9: exact gap boundary across a bucket edge (stays one session)
+    eid += 1; rows.append((eid, 9, T(86400 - 900)))
+    eid += 1; rows.append((eid, 9, T(86400 + 900)))      # exactly 1800s
+    eid += 1; rows.append((eid, 9, T(86400 + 2701)))     # 1801s: splits
+    # key 10: sparse — events days apart (empty buckets between)
+    for d in (0, 5, 11, 30):
+        eid += 1
+        rows.append((eid, 10, T(d * 86400)))
+    # key 11: null timestamps (each its own session) + one real event
+    eid += 1; rows.append((eid, 11, None))
+    eid += 1; rows.append((eid, 11, None))
+    eid += 1; rows.append((eid, 11, T(1000)))
+
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    base_out = {
+        r["event_id"]: (r["session_id"], r["session_seq"])
+        for r in sessionize(ev, gap_sec=1800).collect()
+    }
+    bucketed = {
+        r["event_id"]: (r["session_id"], r["session_seq"])
+        for r in sessionize_bucketed(ev, gap_sec=1800, bucket_sec=86400).collect()
+    }
+    assert bucketed == base_out
+
+    # the hot key genuinely splits across many window groups
+    n_buckets = (
+        ev.filter(F.col("user_id") == 7)
+        .selectExpr("floor(cast(ts as double) / 86400) b")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 30
