@@ -65,6 +65,141 @@ def assign_split(
     return docs.withColumn("split", expr)
 
 
+def shard_plan(
+    docs: DataFrame,
+    tokens_per_shard: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id, shard_offset): concatenate-then-
+    split sequence packing in id order — each document starts at global
+    token offset Σ n_tokens(preceding docs); shard_id/offset are that
+    start divided/modded by the shard size (the standard LM-pretraining
+    pack; a document may straddle a shard boundary, the writer handles
+    the carry).
+
+    Scale shape: the global running token total is NOT a single-
+    partition window sort — it reuses the docids prefix-sum pattern
+    (operators/docids): range-repartition by id, per-partition token
+    sums (tiny driver aggregate), driver prefix offsets, one narrow
+    Arrow pass adding offset + local cumsum. The DuckDB oracle is the
+    straightforward window-sum formulation; equality between the
+    two-phase plan and the window spec is exactly what the driver
+    checks."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    spark = docs.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    d = docs.select(
+        F.col(id_col),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    ordered = (
+        d.repartitionByRange(num_partitions, id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ordered.persist()
+    try:
+        sums = {
+            r["_pid"]: r["s"]
+            for r in ordered.groupBy("_pid")
+            .agg(F.sum("n_tokens").alias("s"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += int(sums[pid])
+
+        out_schema = StructType(
+            [
+                StructField(id_col, d.schema[id_col].dataType, False),
+                StructField("n_tokens", LongType(), False),
+                StructField("shard_id", LongType(), False),
+                StructField("shard_offset", LongType(), False),
+            ]
+        )
+        tps = int(tokens_per_shard)
+
+        def add_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                off = offsets[int(pdf["_pid"].iloc[0])]
+                n = pdf["n_tokens"].to_numpy()
+                import numpy as np
+
+                start = off + local + np.concatenate(([0], np.cumsum(n)[:-1]))
+                local += int(n.sum())
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "n_tokens": n,
+                        "shard_id": start // tps,
+                        "shard_offset": start % tps,
+                    }
+                )
+
+        result = ordered.mapInPandas(add_shards, schema=out_schema)
+        result.count()  # materialize under the persist (same pattern as docids)
+        return result
+    finally:
+        ordered.unpersist()
+
+
+def split_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, split, n_shingles, n_shared, contamination): for every
+    NON-train document, how many of its distinct token-3-gram shingles
+    also occur anywhere in the train split — the decontamination check
+    every eval set needs against its own training corpus.
+
+    Shuffle profile: the join key is the shingle, but the train side is
+    DISTINCT shingles — each eval shingle matches at most once, so the
+    join output is ≤ |eval shingles| rows (no quadratic fanout even on
+    hot shingles; contrast ngram_jaccard's pair join, which needs the
+    hot-shingle cutoff). Docs with fewer than 3 tokens have no shingles
+    and are excluded (nothing to test)."""
+    from semantic_pdf_search_engine_spark.operators.dedup import doc_shingles
+
+    s = assign_split(docs, id_col=id_col)
+    sh = doc_shingles(s, id_col, text_col).join(
+        s.select(id_col, "split"), id_col
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    eval_sh = sh.filter(F.col("split") != "train")
+    totals = eval_sh.groupBy(id_col, "split").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    shared = (
+        eval_sh.join(train_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        totals.join(shared, id_col, "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     min_df: int = 1,

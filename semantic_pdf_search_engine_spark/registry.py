@@ -658,6 +658,35 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_docs(spark, sf_dir), min_df=2)
 
 
+SHARD_TOKENS = 5000
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-split sequence packing (traindata.shard_plan):
+    each doc's global token start offset → (shard_id, shard_offset) at
+    5k tokens/shard. The Spark side runs the docids-style two-phase
+    prefix sum (range partitions + driver offsets — NO single-partition
+    window sort); the oracle is the plain window-sum spec, so the
+    driver verifies the scale-shaped plan against the textbook
+    formulation. Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import shard_plan
+
+    return shard_plan(_docs(spark, sf_dir), tokens_per_shard=SHARD_TOKENS)
+
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination check (traindata.split_contamination):
+    per non-train doc, the fraction of its distinct 3-gram shingles
+    that occur anywhere in the train split. Join output bounded by
+    |eval shingles| (train side distinct — no hot-shingle fanout).
+    Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        split_contamination,
+    )
+
+    return split_contamination(_docs(spark, sf_dir))
+
+
 KMV_K = 64
 
 
@@ -953,6 +982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "train_split": q_train_split,
     "vocab_build": q_vocab_build,
+    "shard_plan": q_shard_plan,
+    "split_contamination": q_split_contamination,
     "events_range_join": q_events_range_join,
     "distinct_kmv": q_distinct_kmv,
     "events_percentiles": q_events_percentiles,
@@ -1428,6 +1459,60 @@ SELECT doc_id,
             WHEN b < 9500 THEN 'val'
             ELSE 'test' END AS split
 FROM h
+"""
+
+ORACLE_SQL["shard_plan"] = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(s / {SHARD_TOKENS}) AS BIGINT) AS shard_id,
+       CAST(s % {SHARD_TOKENS} AS BIGINT) AS shard_offset
+FROM c
+"""
+
+ORACLE_SQL["split_contamination"] = f"""
+WITH sp AS (
+    SELECT doc_id, text,
+           CASE WHEN {_SPLIT_B} < 9000 THEN 'train'
+                WHEN {_SPLIT_B} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+tk AS (
+    SELECT doc_id, split,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM sp
+),
+sh AS (
+    SELECT doc_id, split,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+    FROM tk
+),
+tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+ev AS (SELECT * FROM sh WHERE split <> 'train'),
+tot AS (SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM ev GROUP BY doc_id, split),
+shd AS (SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ev JOIN tr USING (shingle) GROUP BY ev.doc_id)
+SELECT tot.doc_id, split, n_shingles,
+       COALESCE(n_shared, 0) AS n_shared,
+       ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles, 6) AS contamination
+FROM tot LEFT JOIN shd ON tot.doc_id = shd.doc_id
 """
 
 ORACLE_SQL["token_stats"] = f"""

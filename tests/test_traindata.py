@@ -192,3 +192,53 @@ def test_sessionize_bucketed_equals_base_under_skew(spark):
         .count()
     )
     assert n_buckets > 30
+
+
+def test_shard_plan_partition_invariant_and_exact(spark):
+    """The two-phase prefix-sum plan must be invariant to input
+    partitioning and match a driver-side greedy pack exactly, including
+    docs straddling shard boundaries."""
+    from semantic_pdf_search_engine_spark.operators.traindata import shard_plan
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"], r["shard_offset"])
+        for r in shard_plan(docs, tokens_per_shard=50).collect()
+    }
+    scrambled = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"], r["shard_offset"])
+        for r in shard_plan(docs.repartition(7), tokens_per_shard=50).collect()
+    }
+    assert scrambled == got
+    start = 0
+    for i in range(200):
+        n = (i * 7) % 23 + 1
+        assert got[i] == (n, start // 50, start % 50), i
+        start += n
+    assert max(s for _, s, _ in got.values()) > 10  # genuinely multi-shard
+
+
+def test_split_contamination_known_overlap(spark):
+    """A synthetic corpus where one eval doc copies a train doc verbatim
+    (contamination 1.0) and another shares nothing (0.0)."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        assign_split,
+        split_contamination,
+    )
+
+    base = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    splits = {r["doc_id"]: r["split"] for r in assign_split(base).collect()}
+    train_id = next(d for d, s in splits.items() if s == "train")
+    eval_ids = [d for d, s in splits.items() if s != "train"][:2]
+
+    train_text = "alpha beta gamma delta epsilon zeta"
+    rows = [(train_id, train_text),
+            (eval_ids[0], train_text),                      # verbatim copy
+            (eval_ids[1], "one two three four five six")]   # disjoint
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in split_contamination(docs).collect()}
+    assert got[eval_ids[0]]["contamination"] == 1.0
+    assert got[eval_ids[1]]["contamination"] == 0.0
+    assert got[eval_ids[1]]["n_shared"] == 0
+    assert train_id not in got  # train docs are not tested against themselves
