@@ -174,3 +174,35 @@ def quality_score(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """md5 content fingerprint (exact-dup key)."""
     return F.md5(text.cast("binary"))
+
+
+# --- corpus-cleaning additions (round 3) -----------------------------------
+
+# Deliberately simple, engine-portable patterns: no lookarounds, so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_RE = r"[0-9][0-9 ()\-]{5,}[0-9]"
+
+
+def dedup_lines(text: Column) -> Column:
+    """Remove REPEATED lines within a document, keeping each line's
+    first occurrence in order — the standard intra-document boilerplate
+    cut (repeated headers/footers/navigation chrome). `array_distinct`
+    preserves first-occurrence order in both Spark and DuckDB
+    (`list_distinct`), so the twin is exact. Pure Column expr."""
+    return F.array_join(
+        F.array_distinct(F.split(F.coalesce(text, F.lit("")), "\n")), "\n"
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask obvious PII lexemes: email addresses → <EMAIL>, long
+    digit/phone-shaped runs (≥7 chars of digits, spaces, parens,
+    dashes, digit-delimited) → <NUM>. Pattern-based scrubbing is the
+    cheap first pass a corpus pipeline runs before model-based PII
+    removal; patterns are RE2-safe so the DuckDB oracle matches
+    byte-for-byte. Email masking runs FIRST (emails may contain
+    digits)."""
+    t = F.coalesce(text, F.lit(""))
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, LONG_NUM_RE, "<NUM>")

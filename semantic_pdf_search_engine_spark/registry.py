@@ -196,6 +196,24 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass: intra-document repeated-line removal
+    (first occurrence kept — boilerplate cut) + pattern-based PII
+    masking (emails → <EMAIL>, long digit runs → <NUM>); both pure
+    Column exprs with RE2-safe patterns → hard oracle."""
+    from semantic_pdf_search_engine_spark.functions.quality import (
+        dedup_lines,
+        redact_pii,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        dedup_lines(t).alias("deduped"),
+        redact_pii(t).alias("redacted"),
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.dedup import exact_dedup
 
@@ -958,6 +976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "smart_chunks": q_smart_chunks,
     "remove_headers": q_remove_headers,
     "lang_quality": q_lang_quality,
+    "clean_text": q_clean_text,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -1035,8 +1054,14 @@ WHERE (length(lt) - length(replace(lt, '{SPAN_PHRASE}', ''))) / {len(SPAN_PHRASE
 from semantic_pdf_search_engine_spark.functions.quality import (  # noqa: E402
     ARTIFACT_WORDS,
     CODE_INDICATORS,
+    EMAIL_RE,
+    LONG_NUM_RE,
     STOPWORDS,
 )
+
+# the patterns are RE2-safe and contain no single quotes; escape nothing
+EMAIL_RE_SQL = EMAIL_RE
+LONG_NUM_RE_SQL = LONG_NUM_RE
 
 _ALPHA = "CASE WHEN length({t}) > 0 THEN CAST(length(regexp_replace({t}, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length({t}) ELSE 0.0 END"
 _WC = "CASE WHEN length(trim({t})) = 0 THEN 0 ELSE len(regexp_split_to_array(trim({t}), '\\s+')) END"
@@ -1141,6 +1166,14 @@ SELECT doc_id,
        CAST(len(toks) AS INT) AS n_tokens,
        md5(text) AS fp
 FROM r
+""",
+        "clean_text": f"""
+SELECT doc_id,
+       array_to_string(list_distinct(string_split(COALESCE(text, ''), chr(10))), chr(10)) AS deduped,
+       regexp_replace(regexp_replace(COALESCE(text, ''),
+                      '{EMAIL_RE_SQL}', '<EMAIL>', 'g'),
+                      '{LONG_NUM_RE_SQL}', '<NUM>', 'g') AS redacted
+FROM documents
 """,
         "exact_dedup": """
 SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_dups

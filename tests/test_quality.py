@@ -90,3 +90,35 @@ def test_lang_id_and_quality(spark):
     q = _eval(spark, Q.quality_score, [english, nonsense, ""])
     assert 0.0 <= q[2] <= q[1] <= q[0] <= 1.0
     assert q[0] > 0.5
+
+
+def test_dedup_lines_and_redact_pii(spark):
+    """First-occurrence line dedup; email + long-digit-run masking
+    (pattern pass semantics — leading punctuation outside the digit run
+    survives by design)."""
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.functions.quality import (
+        dedup_lines,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "header\nbody one\nheader\nbody two\nbody one"),
+            (2, "write a.b+x@test-domain.co or call 555-123-4567 now"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["d"], r["r"])
+        for r in df.select(
+            "doc_id",
+            dedup_lines(F.col("text")).alias("d"),
+            redact_pii(F.col("text")).alias("r"),
+        ).collect()
+    }
+    assert out[1][0] == "header\nbody one\nbody two"
+    assert out[2][1] == "write <EMAIL> or call <NUM> now"
+    assert out[3] == ("", "")  # null-safe
