@@ -70,9 +70,52 @@ def shingles_expr(text, n: int = SHINGLE_N):
     return F.array_distinct(grams)
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.explode(shingles_expr(F.col(text_col))).alias("shingle")
+def doc_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "arrow",
+) -> DataFrame:
+    """(id, shingle): one row per DISTINCT token-3-gram per doc.
+
+    mode='arrow' (default): tokenize + window + set per doc in one
+    Arrow pass — the shingle construction already byte-pinned to the
+    DuckDB list semantics by the minhash parity test (the pure-Column
+    form pays a nested element_at chain per gram: measured ~4× slower
+    at sf0.1). mode='column' keeps the Column-expr spec (exact-equality
+    tested against arrow)."""
+    if mode == "column":
+        return docs.select(
+            F.col(id_col), F.explode(shingles_expr(F.col(text_col))).alias("shingle")
+        )
+    import pandas as pd
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+
+    n = SHINGLE_N
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shingles = [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                toks = tokenize_py(text, normalize=False)
+                if len(toks) < n:
+                    continue
+                for sgl in {
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                }:
+                    ids.append(did)
+                    shingles.append(sgl)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "shingle": shingles,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, shingle string"
     )
 
 

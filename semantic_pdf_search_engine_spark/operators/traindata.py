@@ -178,6 +178,11 @@ def split_contamination(
     sh = doc_shingles(s, id_col, text_col).join(
         s.select(id_col, "split"), id_col
     )
+    # the (id, split, shingle) table feeds THREE plan consumers (train
+    # distinct, eval totals, eval∩train) — materialize once instead of
+    # re-tokenizing per consumer (same rationale as ngram_jaccard's
+    # shingle table; a production job writes it to parquet)
+    sh = sh.localCheckpoint()
     train_sh = (
         sh.filter(F.col("split") == "train").select("shingle").distinct()
     )

@@ -432,3 +432,13 @@ def test_range_join_subsecond_boundary(spark):
     )
     got = {r["r_event_id"] for r in range_join_binned(left, right, window_sec=300).collect()}
     assert got == {101, 102}  # 300.5s excluded; 299.999999s and -300s in
+
+
+def test_doc_shingles_arrow_equals_column(spark, planted):
+    """The Arrow shingle pass and the Column-expr spec emit the exact
+    same (doc, shingle) set."""
+    from semantic_pdf_search_engine_spark.operators.dedup import doc_shingles
+
+    a = {(r["doc_id"], r["shingle"]) for r in doc_shingles(planted, mode="arrow").collect()}
+    c = {(r["doc_id"], r["shingle"]) for r in doc_shingles(planted, mode="column").collect()}
+    assert a == c and len(a) > 0
