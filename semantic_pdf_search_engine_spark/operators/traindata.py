@@ -149,9 +149,12 @@ def shard_plan(
                     }
                 )
 
-        result = ordered.mapInPandas(add_shards, schema=out_schema)
-        result.count()  # materialize under the persist (same pattern as docids)
-        return result
+        # localCheckpoint (eager) materializes the labeled rows and CUTS
+        # LINEAGE while the parent is still persisted: a later consumer
+        # can never re-run repartitionByRange against the captured
+        # offsets dict (recompute would only be safe as long as range
+        # sampling stays deterministic — don't depend on it)
+        return ordered.mapInPandas(add_shards, schema=out_schema).localCheckpoint()
     finally:
         ordered.unpersist()
 
