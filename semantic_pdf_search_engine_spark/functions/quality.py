@@ -187,9 +187,11 @@ LONG_NUM_RE = r"[0-9][0-9 ()\-]{5,}[0-9]"
 def dedup_lines(text: Column) -> Column:
     """Remove REPEATED lines within a document, keeping each line's
     first occurrence in order — the standard intra-document boilerplate
-    cut (repeated headers/footers/navigation chrome). `array_distinct`
-    preserves first-occurrence order in both Spark and DuckDB
-    (`list_distinct`), so the twin is exact. Pure Column expr."""
+    cut (repeated headers/footers/navigation chrome). Spark's
+    `array_distinct` preserves first-occurrence order; DuckDB's
+    `list_distinct` does NOT (hash order), so the oracle twin keeps
+    index i iff list_position(L, L[i]) = i — the explicit
+    order-preserving formulation. Pure Column expr."""
     return F.array_join(
         F.array_distinct(F.split(F.coalesce(text, F.lit("")), "\n")), "\n"
     )

@@ -397,6 +397,11 @@ def embedding_neardup_lsh_pairs(
         F.explode(_band_keys_udf(planes3)(F.col(vec_col))).alias("bk"),
     )
     if max_band_df is not None:
+        # the guard's count aggregation and the returned plan both
+        # consume `keyed` — materialize the band-assignment pass once
+        # (without this the full-corpus Arrow matmul + explode runs
+        # twice: eagerly for the count, again at collect time)
+        keyed = keyed.localCheckpoint()
         hot = (
             keyed.groupBy("bk")
             .count()

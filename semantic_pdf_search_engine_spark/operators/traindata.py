@@ -96,9 +96,13 @@ def shard_plan(
 
     spark = docs.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    # NULL text → 0 tokens (coalesce BOTH here and in the oracle; a bare
+    # size() would inject NULL→NaN into the prefix sum)
     d = docs.select(
         F.col(id_col),
-        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.size(tokens_expr(F.col(text_col))).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
     )
     ordered = (
         d.repartitionByRange(num_partitions, id_col)

@@ -55,6 +55,106 @@ from semantic_pdf_search_engine_spark.sources.index_store import (
 )
 
 
+def _bm25_bounds(avgdl: float):
+    """(ub, lb) Column exprs over a block's RAW posting facts under
+    CURRENT stats — ONE definition shared by the single-query and batch
+    paths (they must stay bit-identical for batch ≡ single to hold):
+
+      ub: dl→0 limit of the contribution at the block's max tf — no
+          posting can exceed it under any dl;
+      lb: exact contribution of a real stored posting (top_tf, top_dl)
+          — achievable now, however stats drifted since the block was
+          built (append/merge-proof)."""
+    ub = F.col("idf") * (
+        F.col("max_tf") * F.lit(K1 + 1.0)
+    ) / (F.col("max_tf") + F.lit(K1 * (1.0 - B)))
+    lb = (
+        F.col("idf") * (F.col("top_tf") * F.lit(K1 + 1.0))
+    ) / (
+        F.col("top_tf")
+        + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("top_dl") / F.lit(avgdl))
+    )
+    return ub, lb
+
+
+def _kept_stripes(meta: DataFrame, k: int, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Stripes whose ub can reach the k-th-largest lb threshold, per
+    `keys` group (empty keys = one global group). The threshold stays
+    IN-PLAN — two windows over the stripe-METADATA rows (#stripes per
+    group, tiny) instead of a driver collect + second plan compile.
+    _t is NULL when a group has fewer than k stripes ⇒ no valid
+    threshold ⇒ nothing pruned. The 1e-12 relative shave is the
+    cross-runtime (JVM lb vs numpy scores) 1-ulp guard."""
+    from pyspark.sql.window import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col("lb").desc())
+    )
+    wall = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        meta.withColumn("_r", rnk)
+        .withColumn("_t", F.max(F.when(F.col("_r") == k, F.col("lb"))).over(wall))
+        .filter(
+            F.col("_t").isNull() | (F.col("ub") >= F.col("_t") * (1.0 - 1e-12))
+        )
+        .select(*keys, "stripe_id")
+    )
+
+
+def _daat_stripe_topk(
+    pdf: pd.DataFrame,
+    stripe_docs: int,
+    avgdl: float,
+    k: int,
+    scope_ids=None,
+    scope_range=None,
+):
+    """The per-stripe DAAT scoring kernel — ONE definition shared by the
+    single-query and batch paths: decode blocks, dense float64
+    accumulation in canonical (sorted-term) order — bit-identical to
+    the numpy oracle's summation order — stripe-local top-k with doc_id
+    tie-break. Returns (doc_id int64 array, score float64 array)."""
+    from semantic_pdf_search_engine_spark.operators.codec import decode_block
+
+    k1, b = K1, B
+    stripe = int(pdf["stripe_id"].iloc[0])
+    base = stripe * stripe_docs
+    scores = np.zeros(stripe_docs, dtype=np.float64)
+    seen = np.zeros(stripe_docs, dtype=bool)
+    pdf = pdf.sort_values("term", kind="mergesort")
+    for row in pdf.itertuples(index=False):
+        docs, tfs, dls = decode_block(row.gaps, row.tfs, row.dls, base)
+        if scope_ids is not None:
+            mask = np.isin(docs, scope_ids)  # exact membership
+            if not mask.any():
+                continue
+            docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
+        elif scope_range is not None:
+            mask = (docs >= scope_range[0]) & (docs <= scope_range[1])
+            if not mask.any():
+                continue
+            docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
+        off = docs - base
+        idf = row.idf
+        # op order pinned to match oracle.bm25_term bit-for-bit
+        contrib = (idf * (tfs * (k1 + 1.0))) / (
+            tfs + k1 * (1.0 - b + b * dls / avgdl)
+        )
+        scores[off] += contrib
+        seen[off] = True
+    hit = np.flatnonzero(seen)
+    if hit.size == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+    s = scores[hit]
+    order = np.lexsort((hit, -s))[:k]  # stripe-local top-k, doc_id tie-break
+    return (hit[order] + base).astype("int64"), s[order]
+
+
 def score_topk(
     index: InvertedIndex,
     query: str,
@@ -141,96 +241,20 @@ def score_topk(
     avgdl = index.avgdl
 
     if prune:
-        # bounds recomputed from RAW posting facts under CURRENT stats:
-        #   ub: dl→0 limit of the contribution at the block's max tf —
-        #       no posting can exceed it under any dl;
-        #   lb: exact contribution of a real stored posting (top_tf,
-        #       top_dl) — achievable now, however stats drifted since
-        #       the block was built (append/merge-proof).
-        ub = F.col("idf") * (
-            F.col("max_tf") * F.lit(K1 + 1.0)
-        ) / (F.col("max_tf") + F.lit(K1 * (1.0 - B)))
-        lb = (
-            F.col("idf") * (F.col("top_tf") * F.lit(K1 + 1.0))
-        ) / (
-            F.col("top_tf")
-            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("top_dl") / F.lit(avgdl))
-        )
+        ub, lb = _bm25_bounds(avgdl)
         meta = qblocks.groupBy("stripe_id").agg(
             F.sum(ub).alias("ub"), F.max(lb).alias("lb")
         )
-        # the threshold T (k-th largest stripe lb) stays IN-PLAN instead
-        # of a driver collect — no Python round-trip + second plan
-        # compile per query, and meta is computed ONCE: T comes from two
-        # windows over the stripe-METADATA rows (#stripes rows — a
-        # single-partition sort of a tiny set, same data the old code
-        # collected). _t is NULL when fewer than k stripes exist ⇒ no
-        # valid threshold ⇒ nothing pruned (the old len(top_lbs) >= k
-        # driver check). The 1e-12 relative shave is the cross-runtime
-        # (JVM lb vs numpy scores) 1-ulp guard.
-        from pyspark.sql.window import Window
-
-        rnk = F.row_number().over(Window.orderBy(F.col("lb").desc()))
-        wall = Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        kept = (
-            meta.withColumn("_r", rnk)
-            .withColumn(
-                "_t",
-                F.max(F.when(F.col("_r") == k, F.col("lb"))).over(wall),
-            )
-            .filter(
-                F.col("_t").isNull()
-                | (F.col("ub") >= F.col("_t") * (1.0 - 1e-12))
-            )
-            .select("stripe_id")
-        )
-        qblocks = qblocks.join(F.broadcast(kept), "stripe_id")
+        qblocks = qblocks.join(F.broadcast(_kept_stripes(meta, k)), "stripe_id")
 
     stripe_docs = index.stripe_docs
     avgdl = index.avgdl
-    k1, b = K1, B
 
     def score_stripe(pdf: pd.DataFrame) -> pd.DataFrame:
-        from semantic_pdf_search_engine_spark.operators.codec import decode_block
-
-        stripe = int(pdf["stripe_id"].iloc[0])
-        base = stripe * stripe_docs
-        scores = np.zeros(stripe_docs, dtype=np.float64)
-        seen = np.zeros(stripe_docs, dtype=bool)
-        # canonical (sorted-term) accumulation order == oracle order
-        pdf = pdf.sort_values("term", kind="mergesort")
-        for row in pdf.itertuples(index=False):
-            docs, tfs, dls = decode_block(row.gaps, row.tfs, row.dls, base)
-            if scope_ids is not None:
-                mask = np.isin(docs, scope_ids)  # exact membership
-                if not mask.any():
-                    continue
-                docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
-            elif scope_range is not None:
-                mask = (docs >= scope_range[0]) & (docs <= scope_range[1])
-                if not mask.any():
-                    continue
-                docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
-            off = docs - base
-            idf = row.idf
-            # op order pinned to match oracle.bm25_term bit-for-bit
-            contrib = (idf * (tfs * (k1 + 1.0))) / (
-                tfs + k1 * (1.0 - b + b * dls / avgdl)
-            )
-            scores[off] += contrib
-            seen[off] = True
-        hit = np.flatnonzero(seen)
-        if hit.size == 0:
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
-            )
-        s = scores[hit]
-        order = np.lexsort((hit, -s))[:k]  # stripe-local top-k, doc_id tie-break
-        return pd.DataFrame(
-            {"doc_id": (hit[order] + base).astype("int64"), "score": s[order]}
+        ids, s = _daat_stripe_topk(
+            pdf, stripe_docs, avgdl, k, scope_ids=scope_ids, scope_range=scope_range
         )
+        return pd.DataFrame({"doc_id": ids, "score": s})
 
     candidates = qblocks.groupBy("stripe_id").applyInPandas(
         score_stripe, schema="doc_id long, score double"
@@ -291,74 +315,27 @@ def score_topk_batch(
     qmap = spark.createDataFrame(pairs, "query_id int, term string")
     qblocks = blocks.join(F.broadcast(qmap), "term")
 
-    k1, b = K1, B
     avgdl = index.avgdl
     stripe_docs = index.stripe_docs
 
     if prune:
-        # same bounds as score_topk, thresholded per query
-        ub = F.col("idf") * (
-            F.col("max_tf") * F.lit(K1 + 1.0)
-        ) / (F.col("max_tf") + F.lit(K1 * (1.0 - B)))
-        lb = (
-            F.col("idf") * (F.col("top_tf") * F.lit(K1 + 1.0))
-        ) / (
-            F.col("top_tf")
-            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("top_dl") / F.lit(avgdl))
-        )
+        # the SAME bounds/threshold/guard as score_topk (_bm25_bounds /
+        # _kept_stripes), thresholded per query via the keys argument
+        ub, lb = _bm25_bounds(avgdl)
         meta = qblocks.groupBy("query_id", "stripe_id").agg(
             F.sum(ub).alias("ub"), F.max(lb).alias("lb")
         )
-        rnk = F.row_number().over(
-            Window.partitionBy("query_id").orderBy(F.col("lb").desc())
-        )
-        wq = Window.partitionBy("query_id").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        kept = (
-            meta.withColumn("_r", rnk)
-            .withColumn("_t", F.max(F.when(F.col("_r") == k, F.col("lb"))).over(wq))
-            .filter(
-                F.col("_t").isNull()
-                | (F.col("ub") >= F.col("_t") * (1.0 - 1e-12))
-            )
-            .select("query_id", "stripe_id")
-        )
+        kept = _kept_stripes(meta, k, keys=("query_id",))
         qblocks = qblocks.join(F.broadcast(kept), ["query_id", "stripe_id"])
 
     def score_stripe_q(pdf: pd.DataFrame) -> pd.DataFrame:
-        from semantic_pdf_search_engine_spark.operators.codec import decode_block
-
         qid = int(pdf["query_id"].iloc[0])
-        stripe = int(pdf["stripe_id"].iloc[0])
-        base = stripe * stripe_docs
-        scores = np.zeros(stripe_docs, dtype=np.float64)
-        seen = np.zeros(stripe_docs, dtype=bool)
-        pdf = pdf.sort_values("term", kind="mergesort")  # canonical order
-        for row in pdf.itertuples(index=False):
-            docs, tfs, dls = decode_block(row.gaps, row.tfs, row.dls, base)
-            off = docs - base
-            contrib = (row.idf * (tfs * (k1 + 1.0))) / (
-                tfs + k1 * (1.0 - b + b * dls / avgdl)
-            )
-            scores[off] += contrib
-            seen[off] = True
-        hit = np.flatnonzero(seen)
-        if hit.size == 0:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int32"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="float64"),
-                }
-            )
-        s = scores[hit]
-        order = np.lexsort((hit, -s))[:k]
+        ids, s = _daat_stripe_topk(pdf, stripe_docs, avgdl, k)
         return pd.DataFrame(
             {
-                "query_id": np.full(min(k, hit.size), qid, dtype="int32"),
-                "doc_id": (hit[order] + base).astype("int64"),
-                "score": s[order],
+                "query_id": np.full(ids.size, qid, dtype="int32"),
+                "doc_id": ids,
+                "score": s,
             }
         )
 

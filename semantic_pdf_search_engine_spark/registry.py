@@ -200,7 +200,11 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus cleaning pass: intra-document repeated-line removal
     (first occurrence kept — boilerplate cut) + pattern-based PII
     masking (emails → <EMAIL>, long digit runs → <NUM>); both pure
-    Column exprs with RE2-safe patterns → hard oracle."""
+    Column exprs → hard oracle. The fixture corpus has no newlines, so
+    the dedup column is exercised on a synthetic MULTI-LINE projection
+    (spaces → newlines, giving real repeated lines); the oracle twin
+    applies the identical projection, so the driver checks genuine
+    order-preserving dedup behavior, not a vacuous identity."""
     from semantic_pdf_search_engine_spark.functions.quality import (
         dedup_lines,
         redact_pii,
@@ -209,7 +213,7 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
-        dedup_lines(t).alias("deduped"),
+        dedup_lines(F.replace(t, F.lit(" "), F.lit("\n"))).alias("deduped"),
         redact_pii(t).alias("redacted"),
     )
 
@@ -289,11 +293,14 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _parquet_signature(path: str) -> str:
     """Driver-side data signature of a parquet file/directory: per-file
-    (name, size) plus footer row counts plus the first 64 KiB of bytes
-    (column-chunk data — regenerated fixtures with the same SHAPE but
-    different values change it). NO Spark jobs — this replaces the
-    emb.count() + first-vector fetch that used to cost every ANN
-    registry query two scheduler round-trips before it started."""
+    (name, size, row count) plus EVERY row group's per-column statistics
+    (min/max/null_count from the footer) plus each file's first 64 KiB
+    of bytes. Changed VALUES change column statistics even deep inside a
+    multi-file dataset, so a regenerated fixture with the same shape
+    cannot silently serve a stale materialized store. Footer-only reads
+    — NO Spark jobs on the serving path (this replaced the emb.count()
+    + first-vector fetch, two scheduler round-trips per ANN registry
+    query)."""
     import hashlib
     from pathlib import Path
 
@@ -304,9 +311,16 @@ def _parquet_signature(path: str) -> str:
     h = hashlib.md5()
     for f in files:
         h.update(f"{f.name}:{f.stat().st_size}:".encode())
-        h.update(str(pq.ParquetFile(f).metadata.num_rows).encode())
-    if files:
-        with open(files[0], "rb") as fh:
+        md = pq.ParquetFile(f).metadata
+        h.update(str(md.num_rows).encode())
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                h.update(
+                    f"{col.total_compressed_size}:{col.statistics}".encode()
+                )
+        with open(f, "rb") as fh:
             h.update(fh.read(65536))
     return h.hexdigest()
 
@@ -546,22 +560,13 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed as-of join: every click matched to the user's latest
-    prior-or-equal purchase (operators/temporal.asof_join — union-tag +
-    window, one shuffle, no range fan-out). Hard oracle: DuckDB native
-    ASOF LEFT JOIN. No-match sentinels (-1 / 0.0) keep the hash compare
-    null-free on both sides.
-
-    The right side is deduplicated to ONE purchase per (user_id, ts)
-    (max event_id wins) before the join, mirrored in the oracle SQL:
-    Spark's asof_join resolves duplicate timestamps deterministically
-    (max tiebreak) while DuckDB ASOF leaves the pick unspecified — the
-    dedup makes the comparison fixture-independent instead of relying
-    on the current events data having unique (user_id, ts)."""
+def _clicks_and_deduped_purchases(spark: SparkSession, sf_dir: str):
+    """Shared input shape of the two as-of entries: clicks, plus
+    purchases deduplicated to ONE row per (user_id, ts) (max event_id
+    wins) — DuckDB ASOF's duplicate-timestamp pick is unspecified, so
+    parity must not depend on the fixture having unique timestamps.
+    ONE definition so the base and skew-safe entries cannot drift."""
     from pyspark.sql.window import Window
-
-    from semantic_pdf_search_engine_spark.operators.temporal import asof_join
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -575,48 +580,48 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    j = asof_join(clicks, purchases, by=("user_id",), right_cols=("event_id", "value"))
+    return clicks, purchases
+
+
+def _asof_project(j: DataFrame) -> DataFrame:
+    """Null-free output projection shared by both as-of entries
+    (no-match sentinels -1 / 0.0 keep the hash compare null-free)."""
     return j.select(
         "event_id",
         "user_id",
         F.coalesce(F.col("r_event_id"), F.lit(-1)).cast("long").alias("p_event_id"),
         F.round(F.coalesce(F.col("r_value"), F.lit(0.0)), 6).alias("p_value"),
     )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of join: every click matched to the user's latest
+    prior-or-equal purchase (operators/temporal.asof_join — union-tag +
+    window, one shuffle, no range fan-out). Hard oracle: DuckDB native
+    ASOF LEFT JOIN over the deduplicated purchase side (see
+    _clicks_and_deduped_purchases)."""
+    from semantic_pdf_search_engine_spark.operators.temporal import asof_join
+
+    clicks, purchases = _clicks_and_deduped_purchases(spark, sf_dir)
+    j = asof_join(clicks, purchases, by=("user_id",), right_cols=("event_id", "value"))
+    return _asof_project(j)
 
 
 def q_events_asof_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SKEW-SAFE as-of join (operators/temporal.asof_join_bucketed:
     per-(key, time-bucket) windows + aggregated carry-in seed — a hot
-    key is sorted by many tasks, not one) on the same clicks/purchases
-    shape as events_asof. The bucketed plan is EXACT, so it shares the
-    DuckDB ASOF hard oracle — the driver itself verifies the skew
+    key is sorted by many tasks, not one) on the SAME input/projection
+    helpers as events_asof. The bucketed plan is EXACT, so it shares
+    the DuckDB ASOF hard oracle — the driver itself verifies the skew
     variant's equality, not just pytest."""
-    from pyspark.sql.window import Window
-
     from semantic_pdf_search_engine_spark.operators.temporal import asof_join_bucketed
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    wd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "value")
-        .withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    clicks, purchases = _clicks_and_deduped_purchases(spark, sf_dir)
     j = asof_join_bucketed(
         clicks, purchases, by=("user_id",), right_cols=("event_id", "value"),
         bucket_sec=86400,
     )
-    return j.select(
-        "event_id",
-        "user_id",
-        F.coalesce(F.col("r_event_id"), F.lit(-1)).cast("long").alias("p_event_id"),
-        F.round(F.coalesce(F.col("r_value"), F.lit(0.0)), 6).alias("p_value"),
-    )
+    return _asof_project(j)
 
 
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,12 +1173,22 @@ SELECT doc_id,
 FROM r
 """,
         "clean_text": f"""
+WITH lines AS (
+    SELECT doc_id, text,
+           string_split(replace(COALESCE(text, ''), ' ', chr(10)), chr(10)) AS L
+    FROM documents
+)
 SELECT doc_id,
-       array_to_string(list_distinct(string_split(COALESCE(text, ''), chr(10))), chr(10)) AS deduped,
+       array_to_string(
+           list_transform(
+               list_filter(generate_series(1, len(L)),
+                           i -> list_position(L, L[i]) = i),
+               i -> L[i]),
+           chr(10)) AS deduped,
        regexp_replace(regexp_replace(COALESCE(text, ''),
                       '{EMAIL_RE_SQL}', '<EMAIL>', 'g'),
                       '{LONG_NUM_RE_SQL}', '<NUM>', 'g') AS redacted
-FROM documents
+FROM lines
 """,
         "exact_dedup": """
 SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
@@ -1366,24 +1381,29 @@ FROM d
 # the bucketed as-of plan is exact → it shares events_asof's hard oracle
 ORACLE_SQL["events_asof_skew"] = ORACLE_SQL["events_asof"]
 
+# null-ts handling pinned to the Spark operator: nulls sort FIRST
+# (Spark ASC default; DuckDB defaults NULLS LAST — made explicit) and a
+# null gap (either endpoint null) always starts a new session.
 ORACLE_SQL["events_sessionize"] = """
 WITH l AS (
     SELECT event_id, user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts IS NULL
                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS ns
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id)
 ),
 s AS (
     SELECT event_id, user_id, ts,
-           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(SUM(ns) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC NULLS FIRST, event_id
                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
     FROM l
 )
 SELECT event_id, user_id, session_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id
-                               ORDER BY ts, event_id) - 1 AS BIGINT) AS session_seq
+                               ORDER BY ts ASC NULLS FIRST, event_id) - 1 AS BIGINT) AS session_seq
 FROM s
 """
 
@@ -1497,8 +1517,8 @@ FROM h
 ORACLE_SQL["shard_plan"] = f"""
 WITH t AS (
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                                x -> x <> '')) AS BIGINT) AS n_tokens
+           CAST(COALESCE(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                                         x -> x <> '')), 0) AS BIGINT) AS n_tokens
     FROM documents
 ),
 c AS (

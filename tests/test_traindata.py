@@ -242,3 +242,58 @@ def test_split_contamination_known_overlap(spark):
     assert got[eval_ids[1]]["contamination"] == 0.0
     assert got[eval_ids[1]]["n_shared"] == 0
     assert train_id not in got  # train docs are not tested against themselves
+
+
+def test_shard_plan_null_text_safe(spark):
+    """NULL text contributes 0 tokens (coalesced on BOTH engine and
+    oracle sides) — never NaN in the prefix sum."""
+    from semantic_pdf_search_engine_spark.operators.traindata import shard_plan
+
+    docs = spark.createDataFrame(
+        [(0, "one two three"), (1, None), (2, "four five")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"], r["shard_offset"])
+        for r in shard_plan(docs, tokens_per_shard=4).collect()
+    }
+    assert got[0] == (3, 0, 0)
+    assert got[1] == (0, 0, 3)   # zero-width doc sits at the running offset
+    assert got[2] == (2, 0, 3)
+
+
+def test_sessionize_null_ts_matches_duckdb_oracle(spark):
+    """The events_sessionize DuckDB twin must agree with the operator
+    even with NULL timestamps (nulls first, each its own session) —
+    the fixture has none, so this pins the latent case."""
+    import duckdb
+
+    from semantic_pdf_search_engine_spark import registry
+
+    rows = [
+        (1, 7, None),
+        (2, 7, None),
+        (3, 7, T(0)),
+        (4, 7, T(1800)),
+        (5, 7, T(3601 + 1800)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r["event_id"], r["session_id"], r["session_seq"])
+        for r in sessionize(ev, gap_sec=1800).collect()
+    }
+    con = duckdb.connect()
+    pdf = ev.toPandas()
+    con.register("events", pdf)
+    want = {
+        (int(r[0]), int(r[2]), int(r[3]))
+        for r in con.execute(
+            registry.ORACLE_SQL["events_sessionize"]
+        ).fetchall()
+    }
+    got_cmp = {(e, s, q) for e, s, q in got}
+    assert got_cmp == want
+    # semantic spot-check: each null-ts row is its own leading session
+    by_event = {e: (s, q) for e, s, q in got}
+    assert by_event[1] == (0, 0) and by_event[2] == (1, 0)
+    assert by_event[3] == (2, 0)
