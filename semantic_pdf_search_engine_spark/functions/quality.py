@@ -160,15 +160,22 @@ def lang_id(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1]: length component + alphabetic density +
-    stopword naturalness. Pinned formula (identical SQL twin)."""
+    stopword naturalness. Pinned formula (identical SQL twin).
+
+    Rounding is ARITHMETIC half-up — floor(x·1e6 + 0.5)/1e6 — on both
+    sides instead of engine ROUND(): a corpus value landing one ulp
+    under a .5 decimal boundary (observed at sf0.1: 0.5365624999…)
+    makes Spark/numpy ROUND down while DuckDB rounds up; the explicit
+    floor form evaluates the same IEEE ops on the same double in both
+    engines, so the twin can never split on a tie."""
     toks = tokens_expr(text)
     dl = F.size(toks).cast("double")
-    return F.round(
+    raw = (
         F.least(F.lit(1.0), dl / F.lit(100.0)) * F.lit(0.5)
         + alpha_ratio(text) * F.lit(0.3)
-        + F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0)) * F.lit(0.2),
-        6,
+        + F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0)) * F.lit(0.2)
     )
+    return F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def fingerprint(text: Column) -> Column:

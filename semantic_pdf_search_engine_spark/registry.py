@@ -1165,9 +1165,9 @@ WITH t AS (
 )
 SELECT doc_id,
        CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred,
-       ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+       floor((LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
              + {_ALPHA.format(t="text")} * 0.3
-             + LEAST(stop_ratio * 4.0, 1.0) * 0.2, 6) AS quality,
+             + LEAST(stop_ratio * 4.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality,
        CAST(len(toks) AS INT) AS n_tokens,
        md5(text) AS fp
 FROM r
