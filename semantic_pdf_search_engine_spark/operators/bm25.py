@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from semantic_pdf_search_engine_spark.config import B, DEFAULT_TOP_K, K1, SCORE_DECIMALS
 from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py, tokens_expr
+from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
 
 
 def terms_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -135,5 +136,5 @@ def bm25_topk(
         .agg(F.sum("contrib").alias("score"))
     )
     if round_scores:
-        scored = scored.withColumn("score", F.round(F.col("score"), SCORE_DECIMALS))
+        scored = scored.withColumn("score", round_half_up(F.col("score"), SCORE_DECIMALS))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

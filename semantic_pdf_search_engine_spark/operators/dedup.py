@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from semantic_pdf_search_engine_spark.functions.quality import fingerprint
 from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
 
 N_MINHASH = 4
 N_BANDS = 2  # 2 signatures per band
@@ -171,7 +172,7 @@ def ngram_jaccard_pairs(
         .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n_sh", "nb"), "b")
         .withColumn(
             "jaccard",
-            F.round(
+            round_half_up(
                 F.col("inter").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("inter")),
                 6,

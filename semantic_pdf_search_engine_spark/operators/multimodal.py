@@ -27,6 +27,7 @@ from typing import Callable, Protocol
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -147,7 +148,7 @@ def resize_plan(
     w = F.col("width").cast("long")
     h = F.col("height").cast("long")
     long_side = F.greatest(w, h)
-    scale = F.round(
+    scale = round_half_up(
         F.when(long_side > max_side, F.lit(float(max_side)) / long_side).otherwise(
             F.lit(1.0)
         ),

@@ -23,6 +23,10 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from semantic_pdf_search_engine_spark.functions.rounding import (
+    np_round_half_up,
+    round_half_up,
+)
 
 
 def _dot(a, b):
@@ -61,7 +65,7 @@ def cosine_topk_over(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
-            F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("sim")
+            F.col(id_col), round_half_up(cosine_expr(F.col(vec_col), q), 6).alias("sim")
         )
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -274,7 +278,7 @@ def embedding_neardup_pairs(
     return (
         x.join(y, F.col("a") < F.col("b"))
         .select(
-            "a", "b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim")
+            "a", "b", round_half_up(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim")
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -434,7 +438,7 @@ def embedding_neardup_lsh_pairs(
         for s in range(0, len(ids), block):
             e = min(s + block, len(ids))
             sims = X[s:e] @ X[s:].T  # upper-triangle region only
-            ii, jj = np.nonzero(np.round(sims, 6) >= thr)
+            ii, jj = np.nonzero(np_round_half_up(sims, 6) >= thr)
             keep = (jj + s) > (ii + s)  # strictly upper triangle: a < b
             ii, jj = ii[keep], jj[keep]
             if ii.size:
@@ -443,7 +447,7 @@ def embedding_neardup_lsh_pairs(
                         {
                             "a": ids[ii + s],
                             "b": ids[jj + s],
-                            "sim": np.round(sims[ii, jj], 6),
+                            "sim": np_round_half_up(sims[ii, jj], 6),
                         }
                     )
                 )
@@ -541,7 +545,7 @@ def knn_join_brute(
             # -round(sims,6))): containment of the JVM-rescored top-k
             # is provable, not heuristic (overfetch only covers the
             # numpy-vs-JVM ulp window at a rounding boundary)
-            part = np.argsort(-np.round(sims, 6), axis=1, kind="mergesort")[
+            part = np.argsort(-np_round_half_up(sims, 6), axis=1, kind="mergesort")[
                 :, :take
             ]
             qi = np.repeat(q_ids, take)
@@ -562,7 +566,7 @@ def knn_join_brute(
         .select(
             q_id_col,
             id_col,
-            F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim"),
+            round_half_up(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim"),
         )
     )
     w = Window.partitionBy(q_id_col).orderBy(

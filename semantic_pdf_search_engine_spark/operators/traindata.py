@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
 
 SPLIT_BUCKETS = 10_000
 
@@ -207,7 +208,7 @@ def split_contamination(
         .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
         .withColumn(
             "contamination",
-            F.round(F.col("n_shared") / F.col("n_shingles"), 6),
+            round_half_up(F.col("n_shared") / F.col("n_shingles"), 6),
         )
     )
 

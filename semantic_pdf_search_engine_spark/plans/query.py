@@ -49,6 +49,7 @@ from semantic_pdf_search_engine_spark.config import (
     SCORE_DECIMALS,
 )
 from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
 from semantic_pdf_search_engine_spark.sources.index_store import (
     InvertedIndex,
     term_bucket_of,
@@ -261,7 +262,7 @@ def score_topk(
     )
     if round_scores:
         candidates = candidates.withColumn(
-            "score", F.round(F.col("score"), SCORE_DECIMALS)
+            "score", round_half_up(F.col("score"), SCORE_DECIMALS)
         )
     if use_tree_reduce:
         return topk_tree(spark, candidates, k)
@@ -344,7 +345,7 @@ def score_topk_batch(
     )
     if round_scores:
         candidates = candidates.withColumn(
-            "score", F.round(F.col("score"), SCORE_DECIMALS)
+            "score", round_half_up(F.col("score"), SCORE_DECIMALS)
         )
     wfin = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

@@ -26,6 +26,7 @@ from semantic_pdf_search_engine_spark.config import (
     TOKEN_SPLIT_RE,
 )
 from semantic_pdf_search_engine_spark.operators import bm25
+from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
 
 # One fixed flagship query (terms present in the testdata vocabulary).
 FLAGSHIP_QUERY = "spark filter join window"
@@ -82,7 +83,7 @@ scores AS (
     CROSS JOIN stats
     GROUP BY tf.doc_id
 )
-SELECT doc_id, ROUND(s, {SCORE_DECIMALS}) AS score
+SELECT doc_id, floor((s) * 1000000.0 + 0.5) / 1000000.0 AS score
 FROM scores
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
@@ -114,7 +115,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = bm25.dl_df(_docs(spark, sf_dir))
     return dl.agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("dl"), SCORE_DECIMALS).alias("avgdl"),
+        round_half_up(F.avg("dl"), SCORE_DECIMALS).alias("avgdl"),
     )
 
 
@@ -482,9 +483,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            F.round(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            round_half_up(
                 F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
             ).alias("sum_disc"),
             F.count("*").cast("long").alias("n"),
@@ -501,7 +502,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total"),
             F.count("*").cast("long").alias("n_orders"),
         )
         .orderBy(F.col("total").desc(), F.col("c_custkey").asc())
@@ -519,7 +520,7 @@ def q_events_daily_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
         ).agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            round_half_up(F.sum("value"), 2).alias("total"),
         )
     )
     w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
@@ -536,7 +537,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            round_half_up(F.sum("value"), 2).alias("total"),
         )
         .select(
             F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
@@ -553,10 +554,10 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT the approximate sketch)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-        F.round(F.min("value"), 6).alias("vmin"),
-        F.round(F.max("value"), 6).alias("vmax"),
+        round_half_up(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        round_half_up(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        round_half_up(F.min("value"), 6).alias("vmin"),
+        round_half_up(F.max("value"), 6).alias("vmax"),
     )
 
 
@@ -590,7 +591,7 @@ def _asof_project(j: DataFrame) -> DataFrame:
         "event_id",
         "user_id",
         F.coalesce(F.col("r_event_id"), F.lit(-1)).cast("long").alias("p_event_id"),
-        F.round(F.coalesce(F.col("r_value"), F.lit(0.0)), 6).alias("p_value"),
+        round_half_up(F.coalesce(F.col("r_value"), F.lit(0.0)), 6).alias("p_value"),
     )
 
 
@@ -642,7 +643,7 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("r_event_id").alias("p_event_id"),
-        F.round("r_value", 6).alias("p_value"),
+        round_half_up(F.col("r_value"), 6).alias("p_value"),
     )
 
 
@@ -762,7 +763,7 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(sketch, "event_type", "left").select(
         "event_type",
         "n_true",
-        F.round(
+        round_half_up(
             F.when(
                 F.size("vs") >= KMV_K,
                 F.lit(float(KMV_K - 1))
@@ -918,7 +919,7 @@ def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refined.select(
         "doc_id",
         F.size("matches").alias("n_matches"),
-        F.round(
+        round_half_up(
             F.coalesce(F.array_max(F.col("matches.score")), F.lit(0.0)), 6
         ).alias("best_score"),
     )
@@ -1034,7 +1035,7 @@ SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY ter
 """,
     "corpus_stats": f"""
 WITH {_DL_SQL}
-SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(AVG(dl), {SCORE_DECIMALS}) AS avgdl
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, floor((AVG(dl)) * 1000000.0 + 0.5) / 1000000.0 AS avgdl
 FROM dl
 """,
     "bm25_topk": _bm25_sql(_FLAGSHIP_TERMS, DEFAULT_TOP_K),
@@ -1206,11 +1207,11 @@ inter AS (
     GROUP BY x.doc_id, y.doc_id
 )
 SELECT a, b,
-       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
-WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+WHERE floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
 """,
         "minhash_lsh": f"""
 WITH {_SHINGLES_CTE},
@@ -1277,7 +1278,7 @@ WHERE x.doc_id < y.doc_id
         "knn_join": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
 s AS (
-    SELECT q.q_id, e.vec_id, ROUND({_COS.format(a="e.embedding", b="q.q_vec")}, 6) AS sim
+    SELECT q.q_id, e.vec_id, floor(({_COS.format(a="e.embedding", b="q.q_vec")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
     FROM q CROSS JOIN embeddings e
 ),
 r AS (
@@ -1289,7 +1290,7 @@ SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
 """,
         "ann_brute": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, ROUND({_COS.format(a="embedding", b="qv")}, 6) AS sim
+SELECT vec_id, floor(({_COS.format(a="embedding", b="qv")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
 FROM embeddings, q
 WHERE vec_id <> 0
 ORDER BY sim DESC, vec_id ASC
@@ -1297,10 +1298,10 @@ LIMIT 10
 """,
         "embedding_neardup": f"""
 SELECT x.vec_id AS a, y.vec_id AS b,
-       ROUND({_COS.format(a="x.embedding", b="y.embedding")}, 6) AS sim
+       floor(({_COS.format(a="x.embedding", b="y.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE x.vec_id < 300 AND y.vec_id < 300
-  AND ROUND({_COS.format(a="x.embedding", b="y.embedding")}, 6) >= 0.3
+  AND floor(({_COS.format(a="x.embedding", b="y.embedding")}) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
 """,
         "phrase_match": """
 SELECT doc_id,
@@ -1310,9 +1311,9 @@ WHERE (length(text) - length(replace(text, 'filter window', ''))) / 13 >= 1
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base,
-       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+       floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+       floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base,
+       floor((SUM(l_extendedprice * (1.0 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -1320,7 +1321,7 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
         "top_customers": """
-SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total,
+SELECT c_custkey, c_name, floor((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
@@ -1331,7 +1332,7 @@ LIMIT 10
 SELECT l.event_id,
        l.user_id,
        CAST(COALESCE(r.event_id, -1) AS BIGINT) AS p_event_id,
-       ROUND(COALESCE(r.value, 0.0), 6) AS p_value
+       floor((COALESCE(r.value, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS p_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
 ASOF LEFT JOIN (
     SELECT event_id, user_id, ts, value FROM (
@@ -1344,7 +1345,7 @@ ASOF LEFT JOIN (
         "events_range_join": """
 SELECT l.event_id, l.user_id,
        r.event_id AS p_event_id,
-       ROUND(r.value, 6) AS p_value
+       floor((r.value) * 1000000.0 + 0.5) / 1000000.0 AS p_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
 JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id
@@ -1354,22 +1355,22 @@ JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purcha
 SELECT COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
        COALESCE(event_type, 'ALL') AS event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS total
+       floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total
 FROM events
 GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
 """,
         "events_percentiles": """
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.95), 6) AS p95,
-       ROUND(MIN(value), 6) AS vmin,
-       ROUND(MAX(value), 6) AS vmax
+       floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor((quantile_cont(value, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+       floor((MIN(value)) * 1000000.0 + 0.5) / 1000000.0 AS vmin,
+       floor((MAX(value)) * 1000000.0 + 0.5) / 1000000.0 AS vmax
 FROM events GROUP BY event_type
 """,
         "events_daily_rank": """
 WITH d AS (
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+           CAST(COUNT(*) AS BIGINT) AS n, floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total
     FROM events GROUP BY 1, 2
 )
 SELECT day, event_type, n, total,
@@ -1469,7 +1470,7 @@ m AS (SELECT doc_id, width, height, GREATEST(width, height) AS ls FROM meta)
 SELECT doc_id, width, height,
        CAST(CASE WHEN ls > 224 THEN floor(width * 224 / ls) ELSE width END AS INT) AS out_w,
        CAST(CASE WHEN ls > 224 THEN floor(height * 224 / ls) ELSE height END AS INT) AS out_h,
-       ROUND(CASE WHEN ls > 224 THEN 224.0 / ls ELSE 1.0 END, 6) AS scale
+       floor((CASE WHEN ls > 224 THEN 224.0 / ls ELSE 1.0 END) * 1000000.0 + 0.5) / 1000000.0 AS scale
 FROM m
 """
 
@@ -1492,8 +1493,8 @@ r AS (
 s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true FROM h GROUP BY event_type),
 kth AS (SELECT event_type, v AS vk FROM r WHERE rk = 64)
 SELECT s.event_type, s.n_true,
-       ROUND(CASE WHEN kth.vk IS NOT NULL THEN 63.0 * 4294967296.0 / kth.vk
-                  ELSE CAST(s.n_true AS DOUBLE) END, 6) AS kmv_estimate
+       floor((CASE WHEN kth.vk IS NOT NULL THEN 63.0 * 4294967296.0 / kth.vk
+                  ELSE CAST(s.n_true AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS kmv_estimate
 FROM s LEFT JOIN kth USING (event_type)
 """
 
@@ -1564,7 +1565,7 @@ shd AS (SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM ev JOIN tr USING (shingle) GROUP BY ev.doc_id)
 SELECT tot.doc_id, split, n_shingles,
        COALESCE(n_shared, 0) AS n_shared,
-       ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles, 6) AS contamination
+       floor((CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles) * 1000000.0 + 0.5) / 1000000.0 AS contamination
 FROM tot LEFT JOIN shd ON tot.doc_id = shd.doc_id
 """
 

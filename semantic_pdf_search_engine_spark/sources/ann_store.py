@@ -39,6 +39,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from semantic_pdf_search_engine_spark.functions.rounding import np_round_half_up
 from semantic_pdf_search_engine_spark.operators.similarity import (
     cosine_topk_over,
     hyperplanes,
@@ -276,7 +277,7 @@ def knn_join_lsh(
         X = np.array(vecs.tolist(), dtype=np.float64)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
         Q = np.array([qnorm[int(q)] for q in qids], dtype=np.float64)
-        return pd.Series(np.round((Q * X).sum(axis=1), 6))
+        return pd.Series(np_round_half_up((Q * X).sum(axis=1), 6))
 
     cos_udf = F.pandas_udf(_cos, "double")
 
@@ -423,7 +424,7 @@ def _bucket_knn_cogroup(
             e = min(s + BLOCK, len(ids))
             X = np.array(cvecs[s:e].tolist(), dtype=np.float64)
             X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-            sims = np.round(Q @ X.T, 6)  # (Qb, block)
+            sims = np_round_half_up(Q @ X.T, 6)  # (Qb, block)
             take = min(k, e - s)
             # ids ascending + stable sort on -rounded ≡ the final key
             sel = np.argsort(-sims, axis=1, kind="mergesort")[:, :take]
