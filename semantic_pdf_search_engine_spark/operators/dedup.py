@@ -410,3 +410,197 @@ def simhash_neardup_pairs(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# duplicate-passage detection + within-doc repetition metrics
+# ---------------------------------------------------------------------------
+
+PASSAGE_K = 5  # token-window length for cross-doc duplicate passages
+REPETITION_NS = (2, 3, 5)  # n-gram sizes for within-doc repetition
+
+
+def passage_windows(
+    docs: DataFrame,
+    k: int = PASSAGE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fp): md5 fingerprint of EVERY k-token window occurrence
+    (positions 1..len-k+1 under the pinned tokenizer) — NOT distinct:
+    duplicate-passage accounting weighs each occurrence. One Arrow pass
+    (tokenize + slide + hash per batch); the 128-bit digest replaces
+    the gram string as the shuffle key, so downstream exchanges move
+    fixed-width uniform keys instead of variable-length text."""
+    import hashlib
+
+    import pandas as pd
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                toks = tokenize_py(text, normalize=False)
+                for j in range(len(toks) - k + 1):
+                    ids.append(did)
+                    fps.append(
+                        hashlib.md5(" ".join(toks[j : j + k]).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "fp": fps,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, fp string"
+    )
+
+
+def dup_passage_stats(
+    docs: DataFrame,
+    k: int = PASSAGE_K,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_frac): per-document
+    cross-corpus duplicate-passage exposure — the document-level signal
+    of Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better" (exact substring dedup over k-token windows; we report the
+    duplicated-window fraction rather than rewriting text). A window is
+    DUPLICATED iff its fingerprint occurs in >= min_docs distinct
+    documents; n_dup_windows counts that doc's occurrences of such
+    fingerprints; only docs with >= 1 window (len >= k tokens) appear.
+
+    Shuffle profile (one linear pipeline, no branch recompute):
+      1. groupBy(fp, id) occurrence counts — md5 key, uniform;
+      2. count(*) OVER (PARTITION BY fp) on the (fp, doc) AGGREGATE
+         (corpus-wide per-window doc count; input already compressed to
+         one row per (fp, doc), so a boilerplate passage shared by a
+         million docs costs a million-row sort group, not a fanout);
+      3. groupBy(id) roll-up of duplicated occurrences.
+    Per-doc totals come straight from the token count (len - k + 1, a
+    narrow Column expr over the docs scan) — no second windows pass.
+    Hard DuckDB oracle (registry `dup_passages`)."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_expr(F.col(text_col))
+    tot = docs.select(
+        F.col(id_col),
+        (F.size(toks) - F.lit(k - 1)).cast("long").alias("n_windows"),
+    ).filter(F.col("n_windows") >= 1)
+
+    per_fp_doc = (
+        passage_windows(docs, k, id_col, text_col)
+        .groupBy("fp", id_col)
+        .agg(F.count("*").cast("long").alias("occ"))
+    )
+    flagged = per_fp_doc.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("fp"))
+    )
+    dupagg = (
+        flagged.filter(F.col("n_docs") >= min_docs)
+        .groupBy(id_col)
+        .agg(F.sum("occ").cast("long").alias("n_dup_windows"))
+    )
+    return (
+        tot.join(dupagg, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            round_half_up(
+                F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                / F.col("n_windows"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    ns: tuple[int, ...] = REPETITION_NS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n, total_ngrams, distinct_ngrams, top_count, top_frac,
+    dup_frac): within-document repetition signals in the shape of the
+    Gopher/MassiveText quality rules — per n in `ns`, the fraction of
+    n-gram occurrences taken by the single most frequent n-gram
+    (top_frac) and the fraction that are repeats of an earlier
+    occurrence (dup_frac = (total - distinct) / total). Divergence from
+    the Gopher paper documented here: fractions weigh token-window
+    OCCURRENCES, not characters. Docs contribute a row per n only when
+    they have >= 1 n-gram of that size.
+
+    One Arrow pass emits (id, n, md5(gram)) for every size in `ns`
+    (fixed-width uniform shuffle keys); then groupBy(id, n, fp) counts
+    (hot key bounded by one document's repetition of one gram) and a
+    partial-agg groupBy(id, n) roll-up. Hard DuckDB oracle (registry
+    `repetition_metrics`)."""
+    import hashlib
+
+    import pandas as pd
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    sizes = tuple(sorted(set(ns)))
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nn, fps = [], [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                toks = tokenize_py(text, normalize=False)
+                for n in sizes:
+                    for j in range(len(toks) - n + 1):
+                        ids.append(did)
+                        nn.append(n)
+                        fps.append(
+                            hashlib.md5(
+                                " ".join(toks[j : j + n]).encode()
+                            ).hexdigest()
+                        )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "n": pd.Series(nn, dtype="int32"),
+                    "fp": fps,
+                }
+            )
+
+    grams = docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, n int, fp string"
+    )
+    counts = grams.groupBy(id_col, "n", "fp").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    stats = counts.groupBy(id_col, "n").agg(
+        F.sum("c").cast("long").alias("total_ngrams"),
+        F.count("*").cast("long").alias("distinct_ngrams"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    return stats.select(
+        id_col,
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        "top_count",
+        round_half_up(F.col("top_count") / F.col("total_ngrams"), 6).alias(
+            "top_frac"
+        ),
+        round_half_up(
+            (F.col("total_ngrams") - F.col("distinct_ngrams"))
+            / F.col("total_ngrams"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -245,3 +245,97 @@ def build_posting_blocks(
         .sortWithinPartitions("term", "stripe_id", "doc_id")
         .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# positional postings + indexed phrase search
+# ---------------------------------------------------------------------------
+
+
+def positional_postings(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, doc_id, positions ARRAY<INT>): 1-based token positions
+    under the pinned tokenizer — the positional posting lists a phrase
+    query intersects. `terms` restricts to a query's vocabulary BEFORE
+    the shuffle (the exploded stream is filtered at the scan, so only
+    the phrase terms' postings ever move — the computed-on-the-fly
+    analog of a pruned posting-list read; a materialized variant would
+    persist this table partitioned by term_bucket exactly like the
+    BM25 index). positions are sorted; ONE shuffle on (doc, term)."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos0", "term")
+    )
+    if terms is not None:
+        exploded = exploded.filter(F.col("term").isin(list(set(terms))))
+    return (
+        exploded.groupBy("term", id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list((F.col("pos0") + 1).cast("int"))
+            ).alias("positions")
+        )
+    )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_occ, first_pos): token-adjacency phrase search via
+    positional posting intersection — the indexed-engine form of
+    find_exact (/root/reference/src/fuzzy.rs:99-102), matching WHOLE
+    token sequences (substring scans also hit mid-word prefixes; this
+    does not). Plan: positional_postings filtered to the phrase's
+    distinct terms (only those postings shuffle), pivot to one
+    term→positions map per doc (second shuffle on doc), then the
+    adjacency fold is a pure Column expression — candidate starts =
+    positions of token 0, filtered per subsequent token j by
+    `array_contains(positions[t_j], start + j)`. Docs missing any
+    phrase term drop at the map-size guard. No UDF, no substring scan
+    over full text at query time once postings are materialized."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+
+    seq = tokenize_py(phrase)
+    if not seq:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_occ int, first_pos int"
+        )
+    distinct_terms = sorted(set(seq))
+    per_doc = (
+        positional_postings(docs, distinct_terms, id_col, text_col)
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm")
+        )
+        .filter(F.size(F.map_keys(F.col("pm"))) == len(distinct_terms))
+    )
+    def _adjacent(term: str, offset: int):
+        # one-arg closure per fold step (extra lambda params would read
+        # as a multi-arg HOF lambda to Spark's resolver)
+        def pred(s):
+            return F.array_contains(F.element_at(F.col("pm"), term), s + offset)
+
+        return pred
+
+    starts = F.element_at(F.col("pm"), seq[0])
+    for j, t in enumerate(seq[1:], start=1):
+        starts = F.filter(starts, _adjacent(t, j))
+    return (
+        per_doc.select(
+            F.col(id_col),
+            F.size(starts).cast("int").alias("n_occ"),
+            F.array_min(starts).cast("int").alias("first_pos"),
+        )
+        .filter(F.col("n_occ") > 0)
+    )

@@ -234,3 +234,83 @@ def build_vocab(
         agg = agg.filter(F.col("df") >= min_df)
     w = Window.orderBy(F.col("tf_total").desc(), F.col("term").asc())
     return agg.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic quality-weighted corpus sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SAMPLE_RATES: dict[str, float] = {
+    "en": 1.0,
+    "de": 0.5,
+    "es": 0.5,
+    "fr": 0.25,
+    "zh": 0.25,
+}
+SAMPLE_SALT = "sample-v1"
+
+
+def sample_hash_expr(id_col: Column, salt: str = SAMPLE_SALT) -> Column:
+    """Deterministic SALTED bucket in [0, SPLIT_BUCKETS): same md5
+    machinery as split_hash_expr but over `id:salt`, so the sampling
+    coin is INDEPENDENT of the train/val/test coin (a doc's inclusion
+    in a mixture never correlates with its split) and a new salt draws
+    a fresh independent sample. Exact DuckDB twin via the same
+    hex-nibble arithmetic."""
+    h = F.md5(
+        F.concat(id_col.cast("string"), F.lit(":" + salt)).cast("binary")
+    )
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return (v % SPLIT_BUCKETS).cast("int")
+
+
+def sample_corpus(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    key_col: str = "lang",
+    default_rate: float = 0.0,
+    salt: str = SAMPLE_SALT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, key, weight): deterministic per-stratum Bernoulli
+    sampling — the data-mixing step of a training pipeline (e.g. keep
+    all English, half the German, a quarter of the Chinese). A doc is
+    kept iff its salted hash bucket < round(rate * SPLIT_BUCKETS) for
+    its stratum's rate; `weight` = 1/rate (round 6) is the
+    Horvitz-Thompson reweighting factor that keeps downstream
+    statistics unbiased. Hash thresholds, not rand(): the sample is
+    reproducible across runs, engines and partitionings, and is STABLE
+    UNDER APPENDS (an old doc's fate never changes when new docs
+    arrive — same property as assign_split). Strata with rate <= 0
+    (incl. unknown keys under default_rate=0) are dropped entirely.
+
+    Pure Column expr over the scan — no shuffle, no UDF; the filter and
+    the two projected columns push into the parquet scan. Hard DuckDB
+    oracle (registry `sample_weighted`)."""
+    rates = DEFAULT_SAMPLE_RATES if rates is None else rates
+    for k, r in rates.items():
+        if r > 1.0 + 1e-12 or r < 0.0:
+            raise ValueError(f"sample rate for {k!r} must be in [0, 1], got {r}")
+    bucket = sample_hash_expr(F.col(id_col), salt)
+
+    thr = None
+    wgt = None
+    for k, r in rates.items():
+        t = int(round(r * SPLIT_BUCKETS))
+        cond = F.col(key_col) == k
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        w = round(1.0 / r, 6) if r > 0 else 0.0
+        wgt = F.when(cond, w) if wgt is None else wgt.when(cond, w)
+    dt = int(round(default_rate * SPLIT_BUCKETS))
+    dw = round(1.0 / default_rate, 6) if default_rate > 0 else 0.0
+    thr = F.lit(dt) if thr is None else thr.otherwise(dt)
+    wgt = F.lit(dw) if wgt is None else wgt.otherwise(dw)
+
+    return (
+        docs.filter(bucket < thr)
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            wgt.cast("double").alias("weight"),
+        )
+    )

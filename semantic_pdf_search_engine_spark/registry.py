@@ -476,6 +476,22 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POSITIONAL_PHRASE = "stream table hash"
+
+
+def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-adjacency phrase search via positional posting
+    intersection (postings.phrase_occurrences) — the indexed-engine
+    upgrade of `phrase_match`: only the phrase terms' postings shuffle,
+    and the adjacency fold is pure Column exprs over per-doc
+    term→positions maps (no substring scan, no UDF). Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        phrase_occurrences,
+    )
+
+    return phrase_occurrences(_docs(spark, sf_dir), POSITIONAL_PHRASE)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped agg (classical-relational coverage, SURVEY §2.13)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -709,6 +725,41 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return split_contamination(_docs(spark, sf_dir))
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-passage exposure (dedup.
+    dup_passage_stats): per doc, the fraction of its 5-token windows
+    whose fingerprint occurs in >= 2 distinct documents — the
+    document-level signal of exact substring dedup (Lee et al. 2022).
+    Linear shuffle pipeline over md5 window fingerprints; per-doc
+    totals come from the token count, not a second windows pass. Hard
+    oracle."""
+    from semantic_pdf_search_engine_spark.operators.dedup import dup_passage_stats
+
+    return dup_passage_stats(_docs(spark, sf_dir))
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (dedup.repetition_metrics) in
+    the Gopher/MassiveText shape: per (doc, n) for n in {2, 3, 5}, the
+    top-n-gram occupancy and the duplicate-occurrence fraction. One
+    Arrow gram pass + two partial-agg shuffles. Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.dedup import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sampling with
+    Horvitz-Thompson reweighting (traindata.sample_corpus) — the
+    data-mixing step (keep all en, half de/es, a quarter fr/zh).
+    Salted-hash thresholds, not rand(): reproducible and stable under
+    appends; independent of the train/val/test coin. Pure Column expr
+    (filter + projection push into the scan). Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import sample_corpus
+
+    return sample_corpus(_docs(spark, sf_dir))
 
 
 KMV_K = 64
@@ -998,6 +1049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "phrase_match": q_phrase_match,
+    "phrase_positional": q_phrase_positional,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_daily_rank": q_events_daily_rank,
@@ -1009,6 +1061,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_build": q_vocab_build,
     "shard_plan": q_shard_plan,
     "split_contamination": q_split_contamination,
+    "dup_passages": q_dup_passages,
+    "repetition_metrics": q_repetition_metrics,
+    "sample_weighted": q_sample_weighted,
     "events_range_join": q_events_range_join,
     "distinct_kmv": q_distinct_kmv,
     "events_percentiles": q_events_percentiles,
@@ -1567,6 +1622,113 @@ SELECT tot.doc_id, split, n_shingles,
        COALESCE(n_shared, 0) AS n_shared,
        floor((CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles) * 1000000.0 + 0.5) / 1000000.0 AS contamination
 FROM tot LEFT JOIN shd ON tot.doc_id = shd.doc_id
+"""
+
+from semantic_pdf_search_engine_spark.operators.dedup import (  # noqa: E402
+    PASSAGE_K,
+    REPETITION_NS,
+)
+from semantic_pdf_search_engine_spark.operators.traindata import (  # noqa: E402
+    DEFAULT_SAMPLE_RATES,
+    SAMPLE_SALT,
+)
+
+ORACLE_SQL["dup_passages"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+w AS (
+    SELECT doc_id, md5(array_to_string(toks[i:i+{PASSAGE_K - 1}], ' ')) AS fp
+    FROM tk, unnest(generate_series(1, len(toks) - {PASSAGE_K - 1})) AS g(i)
+    WHERE len(toks) >= {PASSAGE_K}
+),
+pfd AS (SELECT fp, doc_id, CAST(COUNT(*) AS BIGINT) AS occ FROM w GROUP BY fp, doc_id),
+dup AS (
+    SELECT doc_id, SUM(occ) AS n_dup
+    FROM (SELECT fp, doc_id, occ, COUNT(*) OVER (PARTITION BY fp) AS n_docs FROM pfd)
+    WHERE n_docs >= 2 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(toks) - {PASSAGE_K - 1} AS BIGINT) AS n_windows
+        FROM tk WHERE len(toks) >= {PASSAGE_K})
+SELECT tot.doc_id, n_windows,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,
+       floor((CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+FROM tot LEFT JOIN dup USING (doc_id)
+"""
+
+_REP_NS_VALUES = ",".join(f"({n})" for n in sorted(set(REPETITION_NS)))
+
+ORACLE_SQL["repetition_metrics"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, n, md5(array_to_string(toks[i:i+n-1], ' ')) AS fp
+    FROM tk, (VALUES {_REP_NS_VALUES}) AS s(n),
+         unnest(generate_series(1, len(toks) - n + 1)) AS w(i)
+    WHERE len(toks) >= n
+),
+c AS (SELECT doc_id, n, fp, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY doc_id, n, fp)
+SELECT doc_id, CAST(n AS INT) AS n,
+       CAST(SUM(c) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+       CAST(MAX(c) AS BIGINT) AS top_count,
+       floor((CAST(MAX(c) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) / 1000000.0 AS top_frac,
+       floor((CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+FROM c GROUP BY doc_id, n
+"""
+
+# thresholds/weights generated from the SAME dict the operator reads, so
+# the two engines compare literal-identical constants by construction
+_SAMPLE_H = f"md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}')"
+_SAMPLE_B = (
+    f"({_byte(_SAMPLE_H, 0)}::BIGINT * 16777216 "
+    f"+ {_byte(_SAMPLE_H, 1)} * 65536 "
+    f"+ {_byte(_SAMPLE_H, 2)} * 256 "
+    f"+ {_byte(_SAMPLE_H, 3)}) % 10000"
+)
+_SAMPLE_THR = " ".join(
+    f"WHEN '{k}' THEN {int(round(r * 10000))}"
+    for k, r in DEFAULT_SAMPLE_RATES.items()
+)
+_SAMPLE_WGT = " ".join(
+    f"WHEN '{k}' THEN {round(1.0 / r, 6)!r}"
+    for k, r in DEFAULT_SAMPLE_RATES.items()
+    if r > 0
+)
+
+ORACLE_SQL["sample_weighted"] = f"""
+SELECT doc_id, lang,
+       CAST(CASE lang {_SAMPLE_WGT} ELSE 0.0 END AS DOUBLE) AS weight
+FROM documents
+WHERE {_SAMPLE_B} < CASE lang {_SAMPLE_THR} ELSE 0 END
+"""
+
+_PP_TOKS = tokenize_py(POSITIONAL_PHRASE)
+_PP_CONDS = " AND ".join(
+    f"toks[i+{j}] = '{t}'" for j, t in enumerate(_PP_TOKS)
+)
+
+ORACLE_SQL["phrase_positional"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, i
+    FROM tk, unnest(generate_series(1, len(toks) - {len(_PP_TOKS) - 1})) AS g(i)
+    WHERE len(toks) >= {len(_PP_TOKS)} AND {_PP_CONDS}
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_occ, CAST(MIN(i) AS INT) AS first_pos
+FROM occ GROUP BY doc_id
 """
 
 ORACLE_SQL["token_stats"] = f"""

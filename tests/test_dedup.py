@@ -442,3 +442,81 @@ def test_doc_shingles_arrow_equals_column(spark, planted):
     a = {(r["doc_id"], r["shingle"]) for r in doc_shingles(planted, mode="arrow").collect()}
     c = {(r["doc_id"], r["shingle"]) for r in doc_shingles(planted, mode="column").collect()}
     assert a == c and len(a) > 0
+
+
+# --- dup_passage_stats / repetition_metrics ------------------------------
+
+
+def test_dup_passages_planted_shared_window(spark):
+    """A 5-token passage shared by exactly two docs flags one window in
+    each; a doc with no shared windows reports 0; a doc shorter than k
+    tokens produces no row."""
+    from semantic_pdf_search_engine_spark.operators.dedup import dup_passage_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "xx alpha beta gamma delta epsilon yy"),
+            (3, "unique words only here nothing shared"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_passage_stats(docs, k=5).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_windows"], got[1]["n_dup_windows"]) == (2, 1)
+    assert got[1]["dup_frac"] == 0.5
+    assert (got[2]["n_windows"], got[2]["n_dup_windows"]) == (3, 1)
+    assert got[2]["dup_frac"] == 0.333333
+    assert (got[3]["n_windows"], got[3]["n_dup_windows"]) == (2, 0)
+    assert got[3]["dup_frac"] == 0.0
+
+
+def test_dup_passages_intra_doc_repeat_not_cross_doc(spark):
+    """A window repeated WITHIN one doc only is not a cross-doc
+    duplicate under min_docs=2 — and becomes one when a second doc
+    shares it."""
+    from semantic_pdf_search_engine_spark.operators.dedup import dup_passage_stats
+
+    solo = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string"
+    )
+    got = dup_passage_stats(solo, k=5).collect()[0]
+    assert got["n_dup_windows"] == 0
+
+    both = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_passage_stats(both, k=5).collect()}
+    # doc 1: windows at offsets 0..5; "a b c d e" occurs at 0 and 5 →
+    # both occurrences count once shared with doc 2
+    assert got[1]["n_windows"] == 6
+    assert got[1]["n_dup_windows"] == 2
+    assert got[2] ["n_dup_windows"] == 1
+
+
+def test_repetition_metrics_known_values(spark):
+    """'a b a b a b' pins every column for n = 2, 3, 5."""
+    from semantic_pdf_search_engine_spark.operators.dedup import repetition_metrics
+
+    docs = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    got = {r["n"]: r for r in repetition_metrics(docs).collect()}
+    assert (got[2]["total_ngrams"], got[2]["distinct_ngrams"], got[2]["top_count"]) == (5, 2, 3)
+    assert (got[2]["top_frac"], got[2]["dup_frac"]) == (0.6, 0.6)
+    assert (got[3]["total_ngrams"], got[3]["distinct_ngrams"], got[3]["top_count"]) == (4, 2, 2)
+    assert (got[3]["top_frac"], got[3]["dup_frac"]) == (0.5, 0.5)
+    assert (got[5]["total_ngrams"], got[5]["distinct_ngrams"], got[5]["top_count"]) == (2, 2, 1)
+    assert (got[5]["top_frac"], got[5]["dup_frac"]) == (0.5, 0.0)
+
+
+def test_repetition_metrics_short_docs_partial_rows(spark):
+    """A doc emits a row only for n-gram sizes it can form."""
+    from semantic_pdf_search_engine_spark.operators.dedup import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["n"]) for r in repetition_metrics(docs).collect()}
+    assert got == {(2, 2), (3, 2), (3, 3)}

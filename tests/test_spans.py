@@ -144,3 +144,63 @@ def test_fuzzy_spans_index_backed_matches_relational(spark, sf_dir, tmp_path, mo
         for r in registry.q_fuzzy_spans(spark, sf_dir).collect()
     }
     assert again == got
+
+
+# --- positional phrase search --------------------------------------------
+
+
+def test_phrase_occurrences_basic_and_overlap(spark):
+    """Token adjacency with repeated occurrences, overlapping matches
+    of a self-similar phrase, and docs missing a term."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        phrase_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown"),
+            (2, "quick the brown"),          # terms present, never adjacent
+            (3, "a b a b a"),
+            (4, "no relevant terms at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in phrase_occurrences(docs, "quick brown").collect()}
+    assert set(got) == {1}
+    assert (got[1]["n_occ"], got[1]["first_pos"]) == (2, 2)
+
+    # self-overlapping phrase "a b a": starts at 1 and 3
+    got = {r["doc_id"]: r for r in phrase_occurrences(docs, "a b a").collect()}
+    assert (got[3]["n_occ"], got[3]["first_pos"]) == (2, 1)
+
+
+def test_phrase_occurrences_whole_token_not_substring(spark):
+    """'filter window' must NOT match 'filter windows' — whole-token
+    semantics, the divergence from the substring-scan phrase_match."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        phrase_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "we filter windows here"), (2, "we filter window here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in phrase_occurrences(docs, "filter window").collect()}
+    assert got == {2}
+
+
+def test_positional_postings_sorted_and_pruned(spark):
+    """positions are sorted 1-based; the terms filter prunes before the
+    shuffle (absent terms yield no rows)."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a b b a")], "doc_id long, text string"
+    )
+    rows = {
+        r["term"]: r["positions"]
+        for r in positional_postings(docs, ["a", "b", "zz"]).collect()
+    }
+    assert rows == {"a": [2, 5], "b": [1, 3, 4]}

@@ -297,3 +297,67 @@ def test_sessionize_null_ts_matches_duckdb_oracle(spark):
     by_event = {e: (s, q) for e, s, q in got}
     assert by_event[1] == (0, 0) and by_event[2] == (1, 0)
     assert by_event[3] == (2, 0)
+
+
+# --- sample_corpus --------------------------------------------------------
+
+
+def _sample_docs(spark, n=400):
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_sample_corpus_deterministic_and_weighted(spark):
+    """Same input → identical sample across invocations; weights are
+    the exact 1/rate reweighting factors; rate-1.0 strata keep every
+    member and rate-0 strata vanish."""
+    from semantic_pdf_search_engine_spark.operators.traindata import sample_corpus
+
+    docs = _sample_docs(spark)
+    rates = {"en": 1.0, "de": 0.25, "zh": 0.0}
+    a = sorted(sample_corpus(docs, rates).collect())
+    b = sorted(sample_corpus(docs, rates).collect())
+    assert a == b
+    langs = {}
+    for r in a:
+        langs.setdefault(r["lang"], []).append(r)
+    assert len(langs["en"]) == 134  # every en doc (ids ≡ 0 mod 3)
+    assert all(r["weight"] == 1.0 for r in langs["en"])
+    assert all(r["weight"] == 4.0 for r in langs.get("de", []))
+    assert "zh" not in langs
+    # de rate: thresholds are exact, so the observed fraction is a
+    # fixed deterministic number near 0.25 — bound it loosely
+    assert 0.10 < len(langs.get("de", [])) / 133 < 0.40
+
+
+def test_sample_corpus_stable_under_append(spark):
+    """A doc's fate never changes when the corpus grows: the sample of
+    a subset equals the subset of the full sample."""
+    from semantic_pdf_search_engine_spark.operators.traindata import sample_corpus
+
+    full = _sample_docs(spark, 400)
+    sub = full.filter(F.col("doc_id") < 200)
+    rates = {"en": 0.5, "de": 0.5, "zh": 0.5}
+    s_full = {r["doc_id"] for r in sample_corpus(full, rates).collect()}
+    s_sub = {r["doc_id"] for r in sample_corpus(sub, rates).collect()}
+    assert s_sub == {i for i in s_full if i < 200}
+
+
+def test_sample_corpus_salt_independence(spark):
+    """A different salt draws a fresh coin: selections differ, and the
+    sampling coin is independent of the split coin (doc ids sampled at
+    rate r are NOT systematically train/val/test)."""
+    from semantic_pdf_search_engine_spark.operators.traindata import sample_corpus
+
+    docs = _sample_docs(spark, 400)
+    rates = {"en": 0.5, "de": 0.5, "zh": 0.5}
+    s1 = {r["doc_id"] for r in sample_corpus(docs, rates, salt="sample-v1").collect()}
+    s2 = {r["doc_id"] for r in sample_corpus(docs, rates, salt="sample-v2").collect()}
+    assert s1 != s2
+
+
+def test_sample_corpus_rejects_bad_rate(spark):
+    from semantic_pdf_search_engine_spark.operators.traindata import sample_corpus
+
+    with pytest.raises(ValueError):
+        sample_corpus(_sample_docs(spark), {"en": 1.5})
