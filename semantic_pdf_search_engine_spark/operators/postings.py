@@ -339,3 +339,84 @@ def phrase_occurrences(
         )
         .filter(F.col("n_occ") > 0)
     )
+
+
+def build_positional_index(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize positional postings partitioned by `term_bucket`
+    (same md5 bucketing as the BM25 index — sources/index_store.
+    term_bucket_of), so a phrase query reads ≤ |distinct phrase terms|
+    of NUM_TERM_BUCKETS directories via a static PartitionFilter
+    instead of rescanning the corpus. One build shuffle (groupBy
+    (term, doc)), one write repartition by bucket."""
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        NUM_TERM_BUCKETS,
+        term_bucket_udf,
+    )
+
+    (
+        positional_postings(docs, None, id_col, text_col)
+        .withColumn("term_bucket", term_bucket_udf(F.col("term")))
+        .repartition(NUM_TERM_BUCKETS, "term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(out_dir)
+    )
+
+
+def phrase_occurrences_indexed(
+    spark,
+    index_dir: str,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """phrase_occurrences served from a materialized positional index:
+    the scan is partition-pruned to the phrase terms' buckets (filter
+    on the `term_bucket` partition column + term equality pushed to
+    parquet), then the same per-doc map pivot + Column adjacency fold.
+    Identical output to the computed-on-the-fly form (asserted in
+    tests/test_spans.py)."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        term_bucket_of,
+    )
+
+    seq = tokenize_py(phrase)
+    if not seq:
+        return spark.createDataFrame([], f"{id_col} long, n_occ int, first_pos int")
+    distinct_terms = sorted(set(seq))
+    buckets = sorted({term_bucket_of(t) for t in distinct_terms})
+    per_doc = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(distinct_terms))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm")
+        )
+        .filter(F.size(F.map_keys(F.col("pm"))) == len(distinct_terms))
+    )
+
+    def _adjacent(term: str, offset: int):
+        def pred(s):
+            return F.array_contains(F.element_at(F.col("pm"), term), s + offset)
+
+        return pred
+
+    starts = F.element_at(F.col("pm"), seq[0])
+    for j, t in enumerate(seq[1:], start=1):
+        starts = F.filter(starts, _adjacent(t, j))
+    return (
+        per_doc.select(
+            F.col(id_col),
+            F.size(starts).cast("int").alias("n_occ"),
+            F.array_min(starts).cast("int").alias("first_pos"),
+        )
+        .filter(F.col("n_occ") > 0)
+    )

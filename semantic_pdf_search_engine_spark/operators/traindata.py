@@ -314,3 +314,58 @@ def sample_corpus(
             wgt.cast("double").alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer training, first merge round)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_pairs(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(left, right, pair_count, rank): corpus-wide adjacent token-pair
+    counts ranked by frequency — the candidate table of one BPE merge
+    iteration at word granularity (the vocab-learning counterpart of
+    build_vocab: vocab_build ranks units, this ranks the merges that
+    would create new units). Deterministic rank: count DESC, then
+    (left, right) ASC; pairs below min_count are dropped BEFORE the
+    rank window, so the global row_number sorts only the vocab²-bounded
+    survivor set, never corpus-sized data (same single-task-window
+    justification as build_vocab — shard by count range if a pair
+    table ever outgrows one task). Pair generation is a pure Column
+    zip of the token array with its own tail (no UDF, no extra
+    shuffle beyond the count groupBy). Hard DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p")
+    ).select("p.left", "p.right")
+    counts = (
+        pairs.groupBy("left", "right")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("left").asc(), F.col("right").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -492,6 +492,52 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_occurrences(_docs(spark, sf_dir), POSITIONAL_PHRASE)
 
 
+def _pos_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized positional posting index over documents
+    (postings.build_positional_index), cached under $SPSE_INDEX_CACHE
+    next to the BM25/ANN stores with the same parquet-footer signature
+    validation (no Spark jobs spent re-validating)."""
+    import hashlib
+    import tempfile
+
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        build_positional_index,
+    )
+
+    root = os.environ.get(
+        "SPSE_INDEX_CACHE", os.path.join(tempfile.gettempdir(), "spse_index_cache")
+    )
+    d = os.path.join(root, "pos_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    sig = hashlib.md5(
+        f"posidx:{_parquet_signature(f'{sf_dir}/documents.parquet')}".encode()
+    ).hexdigest()
+    sig_path = os.path.join(d, "cache_sig.txt")
+    try:
+        if open(sig_path).read() == sig:
+            return os.path.join(d, "postings")
+    except (FileNotFoundError, ValueError, KeyError):
+        pass
+    build_positional_index(_docs(spark, sf_dir), os.path.join(d, "postings"))
+    with open(sig_path, "w") as f:
+        f.write(sig)
+    return os.path.join(d, "postings")
+
+
+def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`phrase_positional` served from the MATERIALIZED positional
+    index: the scan partition-prunes to the phrase terms' term_bucket
+    directories (≤ |distinct terms| of 32) — the build-once/
+    probe-many form. Same hard oracle as phrase_positional (identical
+    output by construction, also pinned in tests/test_spans.py)."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        phrase_occurrences_indexed,
+    )
+
+    return phrase_occurrences_indexed(
+        spark, _pos_index(spark, sf_dir), POSITIONAL_PHRASE
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped agg (classical-relational coverage, SURVEY §2.13)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -686,6 +732,18 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.traindata import assign_split
 
     return assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent token-pair counts ranked by frequency
+    (traindata.bpe_merge_pairs) — one BPE merge iteration's candidate
+    table, deterministic rank (count DESC, pair ASC), min_count floor
+    applied before the vocab²-bounded rank window. Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        bpe_merge_pairs,
+    )
+
+    return bpe_merge_pairs(_docs(spark, sf_dir))
 
 
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,6 +1108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "phrase_match": q_phrase_match,
     "phrase_positional": q_phrase_positional,
+    "phrase_indexed": q_phrase_indexed,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_daily_rank": q_events_daily_rank,
@@ -1059,6 +1118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "train_split": q_train_split,
     "vocab_build": q_vocab_build,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
     "shard_plan": q_shard_plan,
     "split_contamination": q_split_contamination,
     "dup_passages": q_dup_passages,
@@ -1729,6 +1789,30 @@ occ AS (
 )
 SELECT doc_id, CAST(COUNT(*) AS INT) AS n_occ, CAST(MIN(i) AS INT) AS first_pos
 FROM occ GROUP BY doc_id
+"""
+
+ORACLE_SQL["phrase_indexed"] = ORACLE_SQL["phrase_positional"]
+
+ORACLE_SQL["bpe_merge_pairs"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+p AS (
+    SELECT toks[i] AS "left", toks[i+1] AS "right"
+    FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    WHERE len(toks) >= 2
+),
+c AS (
+    SELECT "left", "right", CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT "left", "right", pair_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, "left" ASC, "right" ASC) AS INT) AS rank
+FROM c
+QUALIFY rank <= 50
 """
 
 ORACLE_SQL["token_stats"] = f"""

@@ -204,3 +204,39 @@ def test_positional_postings_sorted_and_pruned(spark):
         for r in positional_postings(docs, ["a", "b", "zz"]).collect()
     }
     assert rows == {"a": [2, 5], "b": [1, 3, 4]}
+
+
+def test_phrase_indexed_equals_on_the_fly(spark, tmp_path):
+    """The materialized positional index serves the same rows as the
+    computed-on-the-fly phrase query, and its scan partition-prunes to
+    the phrase terms' buckets."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        build_positional_index,
+        phrase_occurrences,
+        phrase_occurrences_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "stream table hash join stream table hash"),
+            (2, "stream of hash table"),
+            (3, "stream table hash"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "posidx")
+    build_positional_index(docs, d)
+    live = sorted(
+        tuple(r) for r in phrase_occurrences(docs, "stream table hash").collect()
+    )
+    idx = sorted(
+        tuple(r)
+        for r in phrase_occurrences_indexed(spark, d, "stream table hash").collect()
+    )
+    assert idx == live
+    assert live == [(1, 2, 1), (3, 1, 1)]
+
+    plan = phrase_occurrences_indexed(
+        spark, d, "stream table hash"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan

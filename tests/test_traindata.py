@@ -361,3 +361,47 @@ def test_sample_corpus_rejects_bad_rate(spark):
 
     with pytest.raises(ValueError):
         sample_corpus(_sample_docs(spark), {"en": 1.5})
+
+
+# --- bpe_merge_pairs ------------------------------------------------------
+
+
+def test_bpe_merge_pairs_counts_and_rank(spark):
+    """Adjacent-pair counts with deterministic rank (count desc, pair
+    asc), min_count floor, and single-token docs contributing nothing."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        bpe_merge_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower"),
+            (2, "low lower newest"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["left"], r["right"], r["pair_count"], r["rank"])
+        for r in bpe_merge_pairs(docs, top_k=10, min_count=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # pairs: doc1 → (low,low)x2, (low,lower); doc2 → (low,lower), (lower,newest)
+    assert got == [
+        ("low", "low", 2, 1),
+        ("low", "lower", 2, 2),
+    ]
+
+
+def test_bpe_merge_pairs_top_k_cut(spark):
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        bpe_merge_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d c d e f e f")], "doc_id long, text string"
+    )
+    got = bpe_merge_pairs(docs, top_k=2, min_count=1).collect()
+    assert len(got) == 2
+    assert all(r["rank"] <= 2 for r in got)
