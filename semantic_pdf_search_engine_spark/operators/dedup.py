@@ -604,3 +604,82 @@ def repetition_metrics(
             6,
         ).alias("dup_frac"),
     )
+
+
+def tf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    max_term_df: int = MAX_SHINGLE_DF,
+    max_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, sim): bag-of-words COSINE near-dup pairs over integer
+    term-frequency vectors — the sparse-vector sibling of
+    ngram_jaccard (weighted overlap instead of set overlap) and of the
+    embedding cosine family (sparse lexical instead of dense).
+
+    Determinism by construction: numerator Σ tf_a·tf_b and squared
+    norms Σ tf² are EXACT int64 sums (order-free), and the only float
+    ops — sqrt, multiply, divide, round-half-up(6) — are IEEE
+    correctly-rounded, so Spark and DuckDB produce bit-identical sims
+    (a float tf·idf weighting would make the groupBy sum
+    order-dependent and non-reproducible across partitionings; idf
+    re-weighting belongs downstream of this exact spine). Cosine is
+    defined over the SURVIVING vocabulary: terms with df > max_term_df
+    are dropped from numerator AND norms (self-consistent semantics
+    the oracle twin replicates; same hot-term skew cap as
+    ngram_jaccard — the join key is the term, so a stopword-dense
+    vocabulary would otherwise fan out quadratically).
+
+    Shuffle profile: tf groupBy (doc, term); df cutoff join on term;
+    inverted-index self-join on term (hot keys excluded by the
+    cutoff); pair groupBy (a, b); two doc-keyed norm joins. The tf
+    table is materialized once (localCheckpoint) for its three
+    consumers — a production job would persist it to parquet."""
+    e = docs
+    if max_id is not None:
+        e = e.filter(F.col(id_col) < max_id)
+    tf = (
+        e.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    keep = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_term_df
+    )
+    tfk = tf.join(keep.select("term"), "term").localCheckpoint()
+    norms = tfk.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("s2")
+    )
+    ta = tfk.select(
+        F.col("term"), F.col(id_col).alias("a"), F.col("tf").alias("tfa")
+    )
+    tb = tfk.select(
+        F.col("term"), F.col(id_col).alias("b"), F.col("tf").alias("tfb")
+    )
+    num = (
+        ta.join(tb, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("num"))
+    )
+    na = norms.select(F.col(id_col).alias("a"), F.col("s2").alias("sa"))
+    nb = norms.select(F.col(id_col).alias("b"), F.col("s2").alias("sb"))
+    return (
+        num.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            round_half_up(
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("sa").cast("double"))
+                    * F.sqrt(F.col("sb").cast("double"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -369,3 +369,63 @@ def bpe_merge_pairs(
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per: int = 10,
+    key_col: str = "lang",
+    salt: str = SAMPLE_SALT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, key, rank): deterministic FIXED-SIZE sample per
+    stratum — the n smallest salted md5 hashes per key (rank 1..n in
+    hash order, ties impossible at distinct ids since the id is the
+    hash input and the final tiebreak). The size-based complement of
+    sample_corpus: rate-based sampling is append-stable but variable-
+    size; bottom-k-by-hash gives exactly min(n, |stratum|) rows and is
+    a UNIFORM sample (hashes are exchangeable), reproducible across
+    runs/engines/partitionings — but an appended doc with a smaller
+    hash can displace rank n (by construction of fixed-size).
+
+    Scale shape — the KMV pattern, never a full per-stratum sort in
+    one task: a map-side Arrow fold keeps each partition's n smallest
+    (hash, id) per key (survivors ≤ n × n_partitions per key), then
+    the exact rank window runs on that bounded set (the global bottom
+    n survive their own partition's cut, so ranks are exact). Hard
+    DuckDB oracle: plain ROW_NUMBER over the hash order — the driver
+    verifies the scale-shaped plan against the textbook spec."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
+    )
+    hashed = docs.select(F.col(id_col), F.col(key_col), h.alias("h"))
+    k = n_per
+
+    def bottom_k(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = (
+                both.sort_values(["h", id_col], kind="mergesort")
+                .groupby(key_col, sort=False, dropna=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    key_type = docs.schema[key_col].dataType.simpleString()
+    partial = hashed.mapInPandas(
+        bottom_k, schema=f"{id_col} {id_type}, {key_col} {key_type}, h string"
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("h").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n_per)
+        .select(id_col, key_col, "rank")
+    )

@@ -785,6 +785,42 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_contamination(_docs(spark, sf_dir))
 
 
+STRATIFIED_N = 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-language sample
+    (traindata.stratified_sample): the 10 smallest salted md5 hashes
+    per lang, exact ranks — KMV-shaped map-side bottom-k feeding a
+    bounded rank window; the oracle is the textbook ROW_NUMBER spec.
+    Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        stratified_sample,
+    )
+
+    return stratified_sample(_docs(spark, sf_dir), n_per=STRATIFIED_N)
+
+
+TF_COSINE_MAX_ID = 200
+TF_COSINE_THRESHOLD = 0.9
+
+
+def q_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words cosine near-dup pairs over integer tf vectors
+    (dedup.tf_cosine_pairs) — sparse lexical similarity with
+    bit-identical cross-engine sims (exact int64 sums; only
+    correctly-rounded float ops). Bounded id range like the other
+    pair demos (tiny fixture vocabulary makes candidate generation
+    quadratic by construction). Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.dedup import tf_cosine_pairs
+
+    return tf_cosine_pairs(
+        _docs(spark, sf_dir),
+        threshold=TF_COSINE_THRESHOLD,
+        max_id=TF_COSINE_MAX_ID,
+    )
+
+
 def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-passage exposure (dedup.
     dup_passage_stats): per doc, the fraction of its 5-token windows
@@ -1121,9 +1157,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "shard_plan": q_shard_plan,
     "split_contamination": q_split_contamination,
+    "tf_cosine": q_tf_cosine,
     "dup_passages": q_dup_passages,
     "repetition_metrics": q_repetition_metrics,
     "sample_weighted": q_sample_weighted,
+    "stratified_sample": q_stratified_sample,
     "events_range_join": q_events_range_join,
     "distinct_kmv": q_distinct_kmv,
     "events_percentiles": q_events_percentiles,
@@ -1685,6 +1723,7 @@ FROM tot LEFT JOIN shd ON tot.doc_id = shd.doc_id
 """
 
 from semantic_pdf_search_engine_spark.operators.dedup import (  # noqa: E402
+    MAX_SHINGLE_DF,
     PASSAGE_K,
     REPETITION_NS,
 )
@@ -1792,6 +1831,40 @@ FROM occ GROUP BY doc_id
 """
 
 ORACLE_SQL["phrase_indexed"] = ORACLE_SQL["phrase_positional"]
+
+_STRAT_H = f"md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}')"
+
+ORACLE_SQL["stratified_sample"] = f"""
+SELECT doc_id, lang,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_STRAT_H} ASC, doc_id ASC) AS INT) AS rank
+FROM documents
+QUALIFY rank <= {STRATIFIED_N}
+"""
+
+ORACLE_SQL["tf_cosine"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                              x -> x <> '')) AS term
+    FROM documents WHERE doc_id < {TF_COSINE_MAX_ID}
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+keep AS (SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+tfk AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+nrm AS (SELECT doc_id, SUM(tf*tf) AS s2 FROM tfk GROUP BY doc_id),
+num AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.tf * y.tf) AS num
+    FROM tfk x JOIN tfk y USING (term)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+sims AS (
+    SELECT a, b,
+           floor((CAST(num AS DOUBLE) / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM num JOIN nrm na ON num.a = na.doc_id JOIN nrm nb ON num.b = nb.doc_id
+)
+SELECT * FROM sims WHERE sim >= {TF_COSINE_THRESHOLD}
+"""
 
 ORACLE_SQL["bpe_merge_pairs"] = f"""
 WITH tk AS (

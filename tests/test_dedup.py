@@ -520,3 +520,51 @@ def test_repetition_metrics_short_docs_partial_rows(spark):
     )
     got = {(r["doc_id"], r["n"]) for r in repetition_metrics(docs).collect()}
     assert got == {(2, 2), (3, 2), (3, 3)}
+
+
+# --- tf_cosine_pairs ------------------------------------------------------
+
+
+def test_tf_cosine_known_values(spark):
+    """Identical bags → 1.0 regardless of order; disjoint bags → no
+    pair; a known mixed pair pins the exact rounded value."""
+    from semantic_pdf_search_engine_spark.operators.dedup import tf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),      # vector {alpha:2, beta:1}
+            (2, "beta alpha alpha"),      # same bag, different order
+            (3, "gamma delta"),           # disjoint
+            (4, "alpha beta"),            # cos with 1: (2+1)/(sqrt5*sqrt2)
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["sim"] for r in tf_cosine_pairs(docs, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got and (2, 3) not in got and (3, 4) not in got
+    import math
+    expect = math.floor(3 / (math.sqrt(5) * math.sqrt(2)) * 1e6 + 0.5) / 1e6
+    assert got[(1, 4)] == expect == 0.948683
+
+
+def test_tf_cosine_hot_term_cutoff(spark):
+    """Terms above max_term_df are dropped from numerator AND norms:
+    docs sharing only a hot term form no pair, and surviving sims are
+    computed over the reduced vocabulary."""
+    from semantic_pdf_search_engine_spark.operators.dedup import tf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "common uniq%d" % i) for i in range(4)],
+        "doc_id long, text string",
+    )
+    # 'common' has df=4 > max_term_df=3 → dropped; remaining vectors
+    # are disjoint singletons → no pairs at all
+    got = tf_cosine_pairs(docs, threshold=0.0, max_term_df=3).collect()
+    assert got == []
+    # with the cutoff relaxed every pair shares exactly 'common':
+    # sim = 1/(sqrt2*sqrt2) = 0.5
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in tf_cosine_pairs(docs, threshold=0.0, max_term_df=10).collect()
+    }
+    assert len(got) == 6 and all(v == 0.5 for v in got.values())

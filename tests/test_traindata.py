@@ -405,3 +405,49 @@ def test_bpe_merge_pairs_top_k_cut(spark):
     got = bpe_merge_pairs(docs, top_k=2, min_count=1).collect()
     assert len(got) == 2
     assert all(r["rank"] <= 2 for r in got)
+
+
+# --- stratified_sample ----------------------------------------------------
+
+
+def test_stratified_sample_exact_ranks_vs_plain_window(spark):
+    """The map-side bottom-k plan produces EXACTLY the rows and ranks
+    of the plain per-stratum hash-order window, under a many-partition
+    layout that forces the partial fold to matter."""
+    import hashlib
+
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        SAMPLE_SALT,
+        stratified_sample,
+    )
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string").repartition(16)
+    got = {
+        (r["lang"], r["rank"]): r["doc_id"]
+        for r in stratified_sample(docs, n_per=5).collect()
+    }
+    # python twin: n smallest salted hashes per stratum
+    by_lang = {}
+    for i, lang in rows:
+        h = hashlib.md5(f"{i}:{SAMPLE_SALT}".encode()).hexdigest()
+        by_lang.setdefault(lang, []).append((h, i))
+    want = {}
+    for lang, hs in by_lang.items():
+        for rank, (_, i) in enumerate(sorted(hs)[:5], start=1):
+            want[(lang, rank)] = i
+    assert got == want
+
+
+def test_stratified_sample_small_stratum_kept_whole(spark):
+    """A stratum smaller than n_per returns all its members."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "rare")], "doc_id long, lang string"
+    )
+    got = stratified_sample(docs, n_per=10).collect()
+    assert {(r["lang"]) for r in got} == {"en", "rare"}
+    assert len(got) == 3
