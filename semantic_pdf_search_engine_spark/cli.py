@@ -44,6 +44,33 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--spans", action="store_true", help="add match spans")
     q.add_argument("--tree-reduce", action="store_true")
+    q.add_argument(
+        "--snapshot", type=int, default=None,
+        help="time-travel: answer from a retained snapshot id",
+    )
+
+    sn = sub.add_parser(
+        "snapshots", help="list retained index snapshots, optionally expire"
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument(
+        "--expire-keep", type=int, default=None,
+        help="expire history down to the newest N snapshots",
+    )
+
+    bp = sub.add_parser(
+        "build-pos-index",
+        help="materialize the term_bucket-partitioned positional index",
+    )
+    bp.add_argument("--input", required=True, help="documents parquet path")
+    bp.add_argument("--pos", required=True, help="positional index output dir")
+
+    ph = sub.add_parser("phrase", help="token-adjacency phrase search")
+    ph.add_argument("--phrase", required=True)
+    ph.add_argument("--pos", default=None, help="materialized positional index dir")
+    ph.add_argument(
+        "--input", default=None, help="documents parquet (on-the-fly, no index)"
+    )
 
     be = sub.add_parser("bench", help="query latency over the fixture set")
     be.add_argument("--index", required=True)
@@ -126,12 +153,58 @@ def main(argv: list[str] | None = None) -> int:
         from semantic_pdf_search_engine_spark.plans.query import search
         from semantic_pdf_search_engine_spark.sources.index_store import load_index
 
-        idx = load_index(spark, args.index)
+        idx = load_index(spark, args.index, snapshot_id=args.snapshot)
         hits = search(idx, args.q, args.k, use_tree_reduce=args.tree_reduce)
         if args.spans:
             hits = refine_spans(hits, args.q)
         for row in hits.collect():
             print(json.dumps(row.asDict(recursive=True), default=str))
+    elif args.cmd == "snapshots":
+        from semantic_pdf_search_engine_spark.sources.index_store import (
+            Manifest,
+            expire_snapshots,
+        )
+
+        if args.expire_keep is not None:
+            print(json.dumps(expire_snapshots(args.index, args.expire_keep)))
+        for s in Manifest(args.index).data.get("snapshots", []):
+            print(
+                json.dumps(
+                    {
+                        "snapshot_id": s["snapshot_id"],
+                        "label": s["label"],
+                        "ts": s["ts"],
+                        "n_docs": s["params"].get("n_docs"),
+                        "n_files": {
+                            k: len(v) for k, v in s["tables"].items()
+                        },
+                    }
+                )
+            )
+    elif args.cmd == "build-pos-index":
+        from semantic_pdf_search_engine_spark.operators.postings import (
+            build_positional_index,
+        )
+
+        t0 = time.time()
+        build_positional_index(spark.read.parquet(args.input), args.pos)
+        print(json.dumps({"wall_sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "phrase":
+        from semantic_pdf_search_engine_spark.operators.postings import (
+            phrase_occurrences,
+            phrase_occurrences_indexed,
+        )
+
+        if bool(args.pos) == bool(args.input):
+            p.error("phrase: exactly one of --pos / --input is required")
+        if args.pos:
+            hits = phrase_occurrences_indexed(spark, args.pos, args.phrase)
+        else:
+            hits = phrase_occurrences(
+                spark.read.parquet(args.input), args.phrase
+            )
+        for row in hits.orderBy("doc_id").collect():
+            print(json.dumps(row.asDict()))
     elif args.cmd == "append":
         from semantic_pdf_search_engine_spark.sources.index_store import (
             append_to_index,

@@ -122,13 +122,104 @@ class Manifest:
         os.replace(tmp, self.path)
 
 
+_SNAPSHOT_BASES = ("postings", "docfreq", "docs", "tf")
+
+# automatic history bound: record_snapshot expires beyond this many
+# retained snapshots, so a streaming pipeline appending forever keeps
+# bounded storage without an explicit maintenance call (Iceberg leaves
+# expiry to maintenance jobs; an unattended default is safer here —
+# raise it or call expire_snapshots yourself for longer history)
+SNAPSHOT_KEEP_DEFAULT = 5
+
+
+def record_snapshot(m: "Manifest", index_dir: str, label: str) -> int:
+    """Append an Iceberg-style SNAPSHOT to the manifest: the current
+    params plus the exact parquet file list of every table. Because
+    appends only ever ADD files and version swaps only ever ADD new
+    version dirs (old dirs referenced by a snapshot are retained — see
+    the deletion guards and expire_snapshots), a snapshot's file list
+    stays readable until the snapshot is expired, giving time-travel
+    reads over the append-mode tables too: a query at snapshot s sees
+    exactly the files that existed when s was taken."""
+    params = dict(m.data["params"])
+    d = Path(index_dir)
+    tables: dict[str, list[str]] = {}
+    for base in _SNAPSHOT_BASES:
+        rel = params.get(f"{base}_rel", base)
+        p = d / rel
+        tables[base] = (
+            sorted(str(f) for f in p.rglob("*.parquet")) if p.exists() else []
+        )
+    snaps = m.data.setdefault("snapshots", [])
+    sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 0
+    snaps.append(
+        {
+            "snapshot_id": sid,
+            "label": label,
+            "ts": time.time(),
+            "params": params,
+            "tables": tables,
+        }
+    )
+    m.save()
+    if len(snaps) > SNAPSHOT_KEEP_DEFAULT:
+        expire_snapshots(index_dir, keep_last=SNAPSHOT_KEEP_DEFAULT)
+        m.data = Manifest(index_dir).data  # pick up the pruned list
+    return sid
+
+
+def _rel_referenced_by_snapshot(m: "Manifest", rel: str) -> bool:
+    """True iff some retained snapshot still resolves a table through
+    `rel` — deletion guards call this before removing a superseded
+    version dir (the atomic-swap contract says delete after the flip;
+    snapshots extend the dir's lifetime until expiry)."""
+    for s in m.data.get("snapshots", []):
+        for base in _SNAPSHOT_BASES:
+            if s["params"].get(f"{base}_rel", base) == rel:
+                return True
+    return False
+
+
+def expire_snapshots(index_dir: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest `keep_last` snapshots and delete version
+    dirs no longer referenced by the current pointers or a retained
+    snapshot (Iceberg's expire_snapshots). Returns what was kept and
+    which dirs were removed."""
+    import re
+    import shutil
+
+    d = Path(index_dir)
+    m = Manifest(index_dir)
+    snaps = m.data.get("snapshots", [])
+    kept = snaps[-keep_last:] if keep_last > 0 else []
+    m.data["snapshots"] = kept
+    referenced = {
+        m.data["params"].get(f"{b}_rel", b) for b in _SNAPSHOT_BASES
+    } | {
+        s["params"].get(f"{b}_rel", b) for s in kept for b in _SNAPSHOT_BASES
+    }
+    pat = re.compile(r"^(%s)(_v\d+)?$" % "|".join(_SNAPSHOT_BASES))
+    removed = []
+    for p in sorted(d.iterdir()):
+        if p.is_dir() and pat.match(p.name) and p.name not in referenced:
+            shutil.rmtree(p)
+            removed.append(p.name)
+    m.save()
+    return {"kept": [s["snapshot_id"] for s in kept], "removed_dirs": removed}
+
+
 @dataclass
 class InvertedIndex:
     """Handle to a built index. Physical postings/docfreq directories
     are resolved through the manifest (versioned names), so swaps —
     docfreq merge on append, posting compaction — are ATOMIC: write
     the new version, flip one manifest pointer (os.replace), delete
-    the old dir; a concurrent reader always sees a complete directory."""
+    the old dir; a concurrent reader always sees a complete directory.
+    Old version dirs referenced by a retained SNAPSHOT survive the
+    swap (deletion guards) until expire_snapshots, enabling time-travel
+    (`load_index(..., snapshot_id=s)` — tables then resolve to the
+    snapshot's exact FILE LISTS, read with basePath so the term_bucket
+    partition column survives explicit-file reads)."""
 
     spark: SparkSession
     index_dir: str
@@ -138,6 +229,9 @@ class InvertedIndex:
     postings_rel: str = "postings"
     docfreq_rel: str = "docfreq"
     docs_rel: str = "docs"
+    postings_files: list[str] | None = None
+    docfreq_files: list[str] | None = None
+    docs_files: list[str] | None = None
 
     _postings_cached: DataFrame | None = None
     _docfreq_cached: DataFrame | None = None
@@ -154,12 +248,18 @@ class InvertedIndex:
     def postings(self) -> DataFrame:
         if self._postings_cached is not None:
             return self._postings_cached
+        if self.postings_files is not None:
+            return self.spark.read.option("basePath", self.postings_path).parquet(
+                *self.postings_files
+            )
         return self.spark.read.parquet(self.postings_path)
 
     @property
     def docfreq(self) -> DataFrame:
         if self._docfreq_cached is not None:
             return self._docfreq_cached
+        if self.docfreq_files is not None:
+            return self.spark.read.parquet(*self.docfreq_files)
         return self.spark.read.parquet(self.docfreq_path)
 
     def prepare(self) -> "InvertedIndex":
@@ -174,6 +274,8 @@ class InvertedIndex:
 
     @property
     def docs(self) -> DataFrame:
+        if self.docs_files is not None:
+            return self.spark.read.parquet(*self.docs_files)
         return self.spark.read.parquet(f"{self.index_dir}/{self.docs_rel}")
 
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
@@ -182,9 +284,48 @@ class InvertedIndex:
         return self.docs.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
 
 
-def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
+def load_index(
+    spark: SparkSession, index_dir: str, snapshot_id: int | None = None
+) -> InvertedIndex:
+    """Open the index at its CURRENT pointers, or — with snapshot_id —
+    TIME-TRAVEL to a retained snapshot: corpus stats come from the
+    snapshot's params and every table resolves to the snapshot's exact
+    parquet file list (files appended or swapped in afterwards are
+    invisible), so queries return what they returned when the snapshot
+    was taken. Raises if the snapshot was expired or its files are
+    gone."""
     m = Manifest(index_dir)
-    p = m.data["params"]
+    if snapshot_id is None:
+        p = m.data["params"]
+        return InvertedIndex(
+            spark,
+            index_dir,
+            p["n_docs"],
+            p["avgdl"],
+            p.get("stripe_docs", STRIPE_DOCS),
+            postings_rel=p.get("postings_rel", "postings"),
+            docfreq_rel=p.get("docfreq_rel", "docfreq"),
+            docs_rel=p.get("docs_rel", "docs"),
+        )
+    snaps = {s["snapshot_id"]: s for s in m.data.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not found (retained: {sorted(snaps)}) — "
+            "expired snapshots cannot be read"
+        )
+    s = snaps[snapshot_id]
+    p = s["params"]
+    missing = [
+        f
+        for base in _SNAPSHOT_BASES
+        for f in s["tables"].get(base, [])
+        if not Path(f).exists()
+    ]
+    if missing:
+        raise ValueError(
+            f"snapshot {snapshot_id} is unreadable: {len(missing)} file(s) "
+            f"missing (first: {missing[0]})"
+        )
     return InvertedIndex(
         spark,
         index_dir,
@@ -194,6 +335,9 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
         postings_rel=p.get("postings_rel", "postings"),
         docfreq_rel=p.get("docfreq_rel", "docfreq"),
         docs_rel=p.get("docs_rel", "docs"),
+        postings_files=s["tables"].get("postings") or [],
+        docfreq_files=s["tables"].get("docfreq") or [],
+        docs_files=s["tables"].get("docs") or [],
     )
 
 
@@ -220,14 +364,17 @@ def build_index(
     m = Manifest(index_dir)
     metrics = m.data["metrics"]
 
-    base_stages = ("docs", "tf", "docfreq", "postings")
     if resume and any(s.startswith("append_") for s in m.data["stages"]):
-        if not all(m.stage_complete(s) for s in base_stages):
-            raise ValueError(
-                "index has incremental appends and incomplete base stages; "
-                "stage-level resume would rebuild with pre-append stats — "
-                "rebuild with resume=False or keep using append_to_index"
-            )
+        # UNCONDITIONAL: stage-level resume after appends would serve
+        # pre-append stats over post-append segments no matter which
+        # stage files still exist (before snapshots this was detected
+        # via the deleted old docfreq dir; retention broke that signal,
+        # so the refusal is now explicit)
+        raise ValueError(
+            "index has incremental appends; stage-level resume would "
+            "rebuild with pre-append stats — rebuild with resume=False "
+            "or keep using append_to_index"
+        )
     if not resume:
         # full rebuild: NO prior lineage describes this index any more.
         # Dropping only the append markers would be a trap: stage 1's
@@ -238,6 +385,9 @@ def build_index(
         # interrupted-rebuild resume start from stage 1, which is the
         # only sound interpretation.
         m.data["stages"] = {}
+        # snapshots point at files the rebuild overwrites — drop them
+        # (time-travel across a destructive rebuild is undefined)
+        m.data["snapshots"] = []
 
     # Row counts and Σdl come from Observations attached to the SAME
     # action that writes each stage — a post-write .count() would
@@ -355,6 +505,7 @@ def build_index(
         )
 
     m.save()
+    record_snapshot(m, index_dir, "build")
     return InvertedIndex(
         spark,
         index_dir,
@@ -475,10 +626,15 @@ def append_to_index(
         t0,
         {"n_new_turns": n_new, "n_docs_after": n_all},
     )  # .record() saves the manifest — this is the atomic pointer flip
-    if docfreq_rel != new_docfreq_rel and (d / docfreq_rel).exists():
+    if (
+        docfreq_rel != new_docfreq_rel
+        and (d / docfreq_rel).exists()
+        and not _rel_referenced_by_snapshot(m, docfreq_rel)
+    ):
         import shutil
 
         shutil.rmtree(d / docfreq_rel)
+    record_snapshot(m, index_dir, f"append_{seg_id}")
     return InvertedIndex(
         spark,
         index_dir,
@@ -545,7 +701,9 @@ def compact_docs_tf(
             base, d / new_rel, n_rows, t0,
             {"compacted_from": rel, "files_before": len(files)},
         )  # record() saves the manifest — the atomic pointer flip
-        shutil.rmtree(src)
+        if not _rel_referenced_by_snapshot(m, rel):
+            shutil.rmtree(src)
+    record_snapshot(m, index_dir, "compact_docs_tf")
     return load_index(spark, index_dir)
 
 
@@ -661,10 +819,13 @@ def compact_index(
     params["postings_rel"] = new_rel
     seg_id = sum(1 for s in m.data["stages"] if s.startswith("compact_"))
     m.record(f"compact_{seg_id}", d / new_rel, 0, t0)  # saves = pointer flip
-    if (d / postings_rel).exists():
+    if (d / postings_rel).exists() and not _rel_referenced_by_snapshot(
+        m, postings_rel
+    ):
         import shutil
 
         shutil.rmtree(d / postings_rel)
     if include_docs_tf:
         return compact_docs_tf(spark, index_dir)
+    record_snapshot(m, index_dir, "compact")
     return load_index(spark, index_dir)

@@ -182,9 +182,19 @@ def test_docs_tf_compaction_bounds_files(spark, tmp_path):
 
     idx_c = compact_docs_tf(spark, str(d), target_rows_per_file=10_000)
     assert idx_c.docs_rel == "docs_v1"
-    assert not (d / "docs").exists()  # old dir removed after pointer flip
+    # the old dir now SURVIVES the pointer flip: append-time snapshots
+    # still reference it (time-travel); expire reclaims it below
+    assert (d / "docs").exists()
     assert len(list((d / "docs_v1").rglob("*.parquet"))) < docs_files_pre
     assert len(list(Path(d / "tf_v1").rglob("*.parquet"))) < tf_files_pre
+
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        expire_snapshots,
+    )
+
+    out = expire_snapshots(str(d), keep_last=1)
+    assert "docs" in out["removed_dirs"] and "tf" in out["removed_dirs"]
+    assert not (d / "docs").exists() and not (d / "tf").exists()
 
     post_docs = {
         (r["conv_id"], r["turn_idx"]): r["doc_id"] for r in idx_c.docs.collect()
@@ -267,3 +277,83 @@ def test_scoped_search_non_contiguous_conv(spark, tmp_path):
             .select("doc_id").collect()
         }
         assert all(d in members for d, _ in got)
+
+
+# --- snapshots / time-travel ---------------------------------------------
+
+
+def test_snapshot_time_travel_and_expiry(spark, corpora, tmp_path):
+    """A snapshot taken at build time keeps answering with the
+    PRE-APPEND corpus after an append (same winners, same scores, same
+    n_docs), while the current pointers see the merged corpus;
+    expire_snapshots removes the history and unreferenced version dirs
+    without disturbing the current index."""
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        Manifest,
+        expire_snapshots,
+    )
+
+    _, a, b = corpora
+    d = str(tmp_path / "tt")
+    idx_a = build_index(spark, a, d, stripe_docs=64)
+    n_before = idx_a.n_docs
+    q = make_queries(24)[0]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in score_topk(idx_a, q, 10, round_scores=False).collect()
+    ]
+
+    idx_after = append_to_index(spark, b, d)
+    assert idx_after.n_docs > n_before
+
+    snaps = Manifest(d).data["snapshots"]
+    assert [s["label"] for s in snaps] == ["build", "append_0"]
+    s0 = snaps[0]["snapshot_id"]
+
+    old = load_index(spark, d, snapshot_id=s0)
+    assert old.n_docs == n_before
+    got = [
+        (r["doc_id"], r["score"])
+        for r in score_topk(old, q, 10, round_scores=False).collect()
+    ]
+    assert [x for x, _ in got] == [x for x, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # the snapshot's docs table excludes appended rows
+    assert old.docs.count() == n_before
+
+    out = expire_snapshots(d, keep_last=1)
+    assert out["kept"] == [snaps[-1]["snapshot_id"]]
+    # the pre-append docfreq version dir was only alive for snapshot 0
+    assert any(r.startswith("docfreq") for r in out["removed_dirs"])
+    with pytest.raises(ValueError, match="not found"):
+        load_index(spark, d, snapshot_id=s0)
+    # current index unaffected
+    cur = load_index(spark, d)
+    assert cur.n_docs == idx_after.n_docs
+    assert len(score_topk(cur, q, 10).collect()) == 10
+
+
+def test_snapshot_history_is_bounded(spark, tmp_path):
+    """record_snapshot auto-expires beyond SNAPSHOT_KEEP_DEFAULT, so
+    repeated appends keep bounded manifest history (and thus bounded
+    version-dir storage)."""
+    from semantic_pdf_search_engine_spark.fixtures import make_transcripts
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        SNAPSHOT_KEEP_DEFAULT,
+        Manifest,
+    )
+
+    pdf = make_transcripts(n_convs=16)
+    parts = [
+        pdf[pdf["conv_id"] == c].reset_index(drop=True)
+        for c in sorted(pdf["conv_id"].unique())
+    ]
+    d = str(tmp_path / "bounded")
+    build_index(spark, spark.createDataFrame(parts[0]), d, stripe_docs=64)
+    for p in parts[1 : SNAPSHOT_KEEP_DEFAULT + 3]:
+        append_to_index(spark, spark.createDataFrame(p), d)
+    snaps = Manifest(d).data["snapshots"]
+    assert len(snaps) == SNAPSHOT_KEEP_DEFAULT
+    # ids keep increasing: the kept window is the NEWEST history
+    assert snaps[-1]["label"] == f"append_{SNAPSHOT_KEEP_DEFAULT + 1}"
