@@ -180,6 +180,62 @@ def _rel_referenced_by_snapshot(m: "Manifest", rel: str) -> bool:
     return False
 
 
+def docs_added_between(
+    spark: SparkSession,
+    index_dir: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental (CDC-style) read: the docs rows ADDED between two
+    snapshots, resolved as a FILE-LIST DIFFERENCE — a downstream
+    consumer (embedding refresh, replication, training-shard append)
+    reads only the new segments' files, never rescanning the corpus.
+    Exact because the docs table is append-only between snapshots
+    (rewrites — compact_docs_tf — change the file set wholesale; the
+    diff detects that and falls back to an anti-join on doc_id over
+    the two snapshots' docs, still snapshot-consistent, with a logged
+    warning since it scans both sides). `to_snapshot=None` means the
+    CURRENT table state."""
+    m = Manifest(index_dir)
+    snaps = {s["snapshot_id"]: s for s in m.data.get("snapshots", [])}
+    if from_snapshot not in snaps:
+        raise ValueError(
+            f"snapshot {from_snapshot} not found (retained: {sorted(snaps)})"
+        )
+    old_files = set(snaps[from_snapshot]["tables"].get("docs", []))
+    if to_snapshot is None:
+        rel = m.data["params"].get("docs_rel", "docs")
+        p = Path(index_dir) / rel
+        new_files = {str(f) for f in p.rglob("*.parquet")}
+    else:
+        if to_snapshot not in snaps:
+            raise ValueError(
+                f"snapshot {to_snapshot} not found (retained: {sorted(snaps)})"
+            )
+        new_files = set(snaps[to_snapshot]["tables"].get("docs", []))
+    if old_files <= new_files:
+        added = sorted(new_files - old_files)
+        if not added:
+            base = spark.read.parquet(*sorted(new_files)) if new_files else None
+            return (
+                base.limit(0)
+                if base is not None
+                else spark.createDataFrame([], "doc_id long")
+            )
+        return spark.read.parquet(*added)
+    # a rewrite (compaction) replaced files between the snapshots —
+    # fall back to a doc_id anti-join, exact but two-sided
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "docs_added_between: file set was rewritten between snapshots "
+        "(compaction); falling back to doc_id anti-join"
+    )
+    new_df = spark.read.parquet(*sorted(new_files))
+    old_df = spark.read.parquet(*sorted(old_files)).select("doc_id")
+    return new_df.join(old_df, "doc_id", "left_anti")
+
+
 def expire_snapshots(index_dir: str, keep_last: int = 1) -> dict:
     """Drop all but the newest `keep_last` snapshots and delete version
     dirs no longer referenced by the current pointers or a retained

@@ -357,3 +357,37 @@ def test_snapshot_history_is_bounded(spark, tmp_path):
     assert len(snaps) == SNAPSHOT_KEEP_DEFAULT
     # ids keep increasing: the kept window is the NEWEST history
     assert snaps[-1]["label"] == f"append_{SNAPSHOT_KEEP_DEFAULT + 1}"
+
+
+def test_docs_added_between_snapshots(spark, corpora, tmp_path):
+    """Incremental read returns exactly the appended docs as a
+    file-list diff (no corpus rescan), and survives a compaction
+    rewrite via the anti-join fallback."""
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        compact_docs_tf,
+        docs_added_between,
+    )
+
+    _, a, b = corpora
+    d = str(tmp_path / "cdc")
+    idx_a = build_index(spark, a, d, stripe_docs=64)
+    idx_b = append_to_index(spark, b, d)
+
+    added = docs_added_between(spark, d, from_snapshot=0)
+    n_added = added.count()
+    assert n_added == idx_b.n_docs - idx_a.n_docs
+    # appended docIDs are exactly the new id range
+    ids = {r["doc_id"] for r in added.select("doc_id").collect()}
+    assert ids == set(range(idx_a.n_docs, idx_b.n_docs))
+    # explicit to_snapshot form agrees
+    assert (
+        docs_added_between(spark, d, from_snapshot=0, to_snapshot=1).count()
+        == n_added
+    )
+    # snapshot→itself is empty
+    assert docs_added_between(spark, d, 1, 1).count() == 0
+
+    # compaction rewrites the file set → anti-join fallback, same rows
+    compact_docs_tf(spark, d, target_rows_per_file=10_000)
+    added2 = docs_added_between(spark, d, from_snapshot=0)
+    assert {r["doc_id"] for r in added2.select("doc_id").collect()} == ids

@@ -568,3 +568,46 @@ def test_tf_cosine_hot_term_cutoff(spark):
         for r in tf_cosine_pairs(docs, threshold=0.0, max_term_df=10).collect()
     }
     assert len(got) == 6 and all(v == 0.5 for v in got.values())
+
+
+# --- property tests (hypothesis) -----------------------------------------
+
+
+def test_dup_passages_matches_python_twin_property(spark):
+    """dup_passage_stats == a brute-force python fold over random small
+    corpora drawn from a tiny alphabet (maximizing window collisions)."""
+    import random
+
+    from semantic_pdf_search_engine_spark.operators.dedup import dup_passage_stats
+
+    rng = random.Random(7)
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice("ab cd ef gh".split()) for _ in range(rng.randint(0, 12))))
+            for i in range(12)
+        ]
+        k = 3
+        # python twin
+        wins = {}
+        for i, t in docs:
+            toks = t.split()
+            wins[i] = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        from collections import Counter
+
+        owner = {}
+        for i, ws in wins.items():
+            for w in set(ws):
+                owner.setdefault(w, set()).add(i)
+        dup = {w for w, o in owner.items() if len(o) >= 2}
+        want = {
+            i: (len(ws), sum(1 for w in ws if w in dup))
+            for i, ws in wins.items()
+            if len(ws) >= 1
+        }
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in dup_passage_stats(
+                spark.createDataFrame(docs, "doc_id long, text string"), k=k
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"

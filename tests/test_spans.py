@@ -240,3 +240,40 @@ def test_phrase_indexed_equals_on_the_fly(spark, tmp_path):
         spark, d, "stream table hash"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "term_bucket" in plan
+
+
+def test_phrase_occurrences_matches_python_twin_property(spark):
+    """phrase_occurrences == a naive python scan over random token
+    sequences from a 2-letter alphabet (maximizing overlaps and
+    repeated-term phrases)."""
+    import random
+
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        phrase_occurrences,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(["a", "b"]) for _ in range(rng.randint(0, 10))))
+            for i in range(10)
+        ]
+        phrase = " ".join(rng.choice(["a", "b"]) for _ in range(rng.randint(1, 3)))
+        seq = phrase.split()
+        want = {}
+        for i, t in docs:
+            toks = t.split()
+            starts = [
+                j + 1
+                for j in range(len(toks) - len(seq) + 1)
+                if toks[j : j + len(seq)] == seq
+            ]
+            if starts:
+                want[i] = (len(starts), starts[0])
+        got = {
+            r["doc_id"]: (r["n_occ"], r["first_pos"])
+            for r in phrase_occurrences(
+                spark.createDataFrame(docs, "doc_id long, text string"), phrase
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: phrase={phrase!r}"
