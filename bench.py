@@ -234,6 +234,7 @@ def main():
     t0 = time.time()
     registry._ann_index(spark, SF_DIR)
     registry._doc_index(spark, SF_DIR)
+    registry._pos_index(spark, SF_DIR)
     cache_warm = round(time.time() - t0, 2)
     for name, fn in registry.QUERIES.items():
         t0 = time.time()

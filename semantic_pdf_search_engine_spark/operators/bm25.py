@@ -82,6 +82,7 @@ def bm25_topk(
     text_col: str = "text",
     round_scores: bool = True,
     scope=None,
+    scope_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force BM25 top-k over a document DataFrame.
 
@@ -118,6 +119,10 @@ def bm25_topk(
     if scope is not None:
         scoped_ids = docs.filter(scope).select(id_col)
         candidates = tf.join(scoped_ids, id_col, "left_semi")
+    if scope_ids is not None:
+        # candidate restriction by an id DataFrame (boolean_search's
+        # conjunctive/negated set); stats stay GLOBAL, same as `scope`
+        candidates = candidates.join(scope_ids.select(id_col), id_col, "left_semi")
     scored = (
         candidates.join(F.broadcast(qdf), "term")  # semi-filter to query terms
         .join(F.broadcast(dfreq), "term")
@@ -138,3 +143,55 @@ def bm25_topk(
     if round_scores:
         scored = scored.withColumn("score", round_half_up(F.col("score"), SCORE_DECIMALS))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def boolean_search(
+    docs: DataFrame,
+    must: list[str],
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_scores: bool = True,
+) -> DataFrame:
+    """Boolean retrieval with BM25 ranking: candidates must contain
+    EVERY `must` term and NO `must_not` term; ranking scores must +
+    should terms under the pinned BM25 (global stats). The classic
+    engine query shape BM25 top-k alone can't express — bm25_topk is
+    disjunctive (any query term qualifies a doc).
+
+    Plan: the conjunctive set is one groupBy over tf rows filtered to
+    the must terms (a doc qualifies iff its distinct-must-term count
+    equals |must| — tf is unique per (doc, term), so a plain count);
+    the negated set is a left_anti join; both are id-sets fed to
+    bm25_topk's scope_ids (left_semi into the scoring join, stats
+    untouched). On the compressed index the same sets come from
+    decoding only the must/must_not terms' postings — the relational
+    form here is the oracle-parity spec, consistent with bm25_topk."""
+    must_terms = sorted({t for w in must for t in tokenize_py(w)})
+    if not must_terms:
+        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
+    should_terms = sorted({t for w in (should or []) for t in tokenize_py(w)})
+    not_terms = sorted({t for w in (must_not or []) for t in tokenize_py(w)})
+
+    tf = tf_df(docs, id_col, text_col)
+    cand = (
+        tf.filter(F.col("term").isin(must_terms))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_m"))
+        .filter(F.col("_m") == len(must_terms))
+        .select(id_col)
+    )
+    if not_terms:
+        excl = tf.filter(F.col("term").isin(not_terms)).select(id_col).distinct()
+        cand = cand.join(excl, id_col, "left_anti")
+    return bm25_topk(
+        docs,
+        " ".join(must_terms + should_terms),
+        k,
+        id_col=id_col,
+        text_col=text_col,
+        round_scores=round_scores,
+        scope_ids=cand,
+    )

@@ -368,6 +368,35 @@ def build_positional_index(
     )
 
 
+def append_to_positional_index(
+    new_docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental positional-index maintenance: the new segment's
+    (term, doc, positions) rows land as APPENDED files in the same
+    term_bucket partition layout — no rewrite of existing postings
+    (the LSM move, same as the BM25 index's append_to_index).
+    Precondition: appended doc ids must be NEW (a doc split across
+    segments would yield two rows for one (term, doc) and
+    double-counted starts); phrase queries read old and new files
+    transparently through the partition layout."""
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        NUM_TERM_BUCKETS,
+        term_bucket_udf,
+    )
+
+    (
+        positional_postings(new_docs, None, id_col, text_col)
+        .withColumn("term_bucket", term_bucket_udf(F.col("term")))
+        .repartition(NUM_TERM_BUCKETS, "term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(out_dir)
+    )
+
+
 def phrase_occurrences_indexed(
     spark,
     index_dir: str,

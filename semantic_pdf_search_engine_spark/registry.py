@@ -479,6 +479,28 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 POSITIONAL_PHRASE = "stream table hash"
 
 
+BOOL_MUST = ["filter", "window"]
+BOOL_SHOULD = ["scan"]
+BOOL_MUST_NOT = ["slow"]
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval + BM25 rank (bm25.boolean_search): docs with
+    ALL must terms and NO must_not terms, scored over must+should with
+    GLOBAL stats — the conjunctive/negated query shape the disjunctive
+    bm25_topk cannot express. Hard oracle (bm25 twin + IN/NOT IN
+    candidate subqueries)."""
+    from semantic_pdf_search_engine_spark.operators.bm25 import boolean_search
+
+    return boolean_search(
+        _docs(spark, sf_dir),
+        must=BOOL_MUST,
+        should=BOOL_SHOULD,
+        must_not=BOOL_MUST_NOT,
+        k=DEFAULT_TOP_K,
+    )
+
+
 def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-adjacency phrase search via positional posting
     intersection (postings.phrase_occurrences) — the indexed-engine
@@ -1122,6 +1144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_scoped": q_bm25_scoped,
+    "boolean_search": q_boolean_search,
     "valid_chunks": q_valid_chunks,
     "chunk_turns": q_chunk_turns,
     "smart_chunks": q_smart_chunks,
@@ -1203,6 +1226,25 @@ WHERE (length(lt) - length(replace(lt, '{SPAN_PHRASE}', ''))) / {len(SPAN_PHRASE
 """,
     "bm25_scoped": _bm25_sql(
         _FLAGSHIP_TERMS, DEFAULT_TOP_K, scope_pred=f"source = '{SCOPED_SOURCE}'"
+    ),
+    "boolean_search": _bm25_sql(
+        sorted({t for w in BOOL_MUST + BOOL_SHOULD for t in tokenize_py(w)}),
+        DEFAULT_TOP_K,
+        scope_pred=(
+            "doc_id IN (SELECT doc_id FROM tf WHERE term IN ("
+            + ", ".join(
+                f"'{t}'"
+                for t in sorted({t for w in BOOL_MUST for t in tokenize_py(w)})
+            )
+            + f") GROUP BY doc_id HAVING COUNT(*) = "
+            f"{len({t for w in BOOL_MUST for t in tokenize_py(w)})})"
+            " AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ("
+            + ", ".join(
+                f"'{t}'"
+                for t in sorted({t for w in BOOL_MUST_NOT for t in tokenize_py(w)})
+            )
+            + "))"
+        ),
     ),
 }
 

@@ -277,3 +277,41 @@ def test_phrase_occurrences_matches_python_twin_property(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}: phrase={phrase!r}"
+
+
+def test_positional_index_append_equals_full_build(spark, tmp_path):
+    """build(A) + append(B) answers phrase queries identically to
+    build(A ∪ B) — appended segments land as new files in the same
+    term_bucket layout, no rewrite."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        append_to_positional_index,
+        build_positional_index,
+        phrase_occurrences_indexed,
+    )
+
+    a = [(1, "x y z x y"), (2, "x z y")]
+    b = [(3, "w x y w"), (4, "y x")]
+    d_inc = str(tmp_path / "pos_inc")
+    d_full = str(tmp_path / "pos_full")
+    build_positional_index(spark.createDataFrame(a, "doc_id long, text string"), d_inc)
+    append_to_positional_index(
+        spark.createDataFrame(b, "doc_id long, text string"), d_inc
+    )
+    build_positional_index(
+        spark.createDataFrame(a + b, "doc_id long, text string"), d_full
+    )
+    for phrase in ("x y", "w x y", "y x"):
+        got = sorted(
+            tuple(r) for r in phrase_occurrences_indexed(spark, d_inc, phrase).collect()
+        )
+        want = sorted(
+            tuple(r) for r in phrase_occurrences_indexed(spark, d_full, phrase).collect()
+        )
+        assert got == want, phrase
+    got = {
+        r["doc_id"]: (r["n_occ"], r["first_pos"])
+        for r in phrase_occurrences_indexed(spark, d_inc, "x y").collect()
+    }
+    # doc 1 "x y z x y" → starts 1, 4; doc 3 "w x y w" → start 2;
+    # doc 4 is "y x" (reversed) → no match
+    assert got == {1: (2, 1), 3: (1, 2)}

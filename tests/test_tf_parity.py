@@ -23,3 +23,50 @@ def test_jvm_equals_arrow(spark):
     )
     assert jvm == arrow
     docs.unpersist()
+
+
+# --- boolean_search -------------------------------------------------------
+
+
+def test_boolean_search_semantics(spark):
+    """must = conjunctive, must_not = exclusion, should adds score but
+    never qualifies a doc on its own; scores match bm25_topk over the
+    same term set on the surviving candidates."""
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.operators.bm25 import (
+        bm25_topk,
+        boolean_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta bad gamma"),
+            (3, "alpha gamma gamma"),   # missing beta → excluded
+            (4, "beta gamma"),          # missing alpha → excluded
+            (5, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in boolean_search(
+            docs, must=["alpha", "beta"], should=["gamma"], must_not=["bad"]
+        ).collect()
+    }
+    assert set(got) == {1, 5}
+    # scores equal the disjunctive bm25 over the same terms, restricted
+    # to the boolean survivors (global stats both sides)
+    full = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, "alpha beta gamma", k=10).collect()
+    }
+    assert got == {i: full[i] for i in (1, 5)}
+
+
+def test_boolean_search_empty_must_guard(spark):
+    from semantic_pdf_search_engine_spark.operators.bm25 import boolean_search
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert boolean_search(docs, must=["  ..  "]).count() == 0
