@@ -429,3 +429,93 @@ def stratified_sample(
         .filter(F.col("rank") <= n_per)
         .select(id_col, key_col, "rank")
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(left, right, pair_count, pmi, rank): adjacent-pair pointwise
+    mutual information — collocation extraction, ranking pairs by how
+    much more often they co-occur than their unigram frequencies
+    predict: pmi = ln(c_ab·T·T / (c_a·c_b·P)) with T total tokens and
+    P total adjacent pairs. The association-strength refinement of
+    bpe_merge_pairs (raw frequency ranks stopword pairs first; PMI
+    surfaces true collocations). min_count floors rare pairs (PMI's
+    classic low-count instability) BEFORE the vocab²-bounded rank
+    window. All ln arguments are ratios of exact integer products
+    evaluated in a PINNED association order (the oracle twin uses the
+    identical expression shape, so the doubles agree bit-for-bit —
+    same determinism class as the BM25 idf). Hard DuckDB oracle.
+
+    Shuffles: unigram counts groupBy(term); pair counts
+    groupBy(left, right); unigram side broadcast into the pair table
+    (vocab-sized); totals are a broadcast scalar cross join."""
+    from pyspark.sql.window import Window
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p")
+    ).select("p.left", "p.right")
+    pc = (
+        pairs.groupBy("left", "right")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").cast("double").alias("t_tokens"))
+    p_total = pairs.groupBy().count().select(
+        F.col("count").cast("double").alias("t_pairs")
+    )
+    ca = uni.select(F.col("term").alias("left"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("term").alias("right"), F.col("c").alias("cb"))
+    scored = (
+        pc.join(F.broadcast(ca), "left")
+        .join(F.broadcast(cb), "right")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(p_total))
+        .withColumn(
+            "pmi",
+            round_half_up(
+                F.log(
+                    (
+                        F.col("pair_count").cast("double")
+                        * F.col("t_tokens")
+                        * F.col("t_tokens")
+                    )
+                    / (
+                        F.col("ca").cast("double")
+                        * F.col("cb").cast("double")
+                        * F.col("t_pairs")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.col("pmi").desc(), F.col("left").asc(), F.col("right").asc()
+    )
+    return (
+        scored.select("left", "right", "pair_count", "pmi")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

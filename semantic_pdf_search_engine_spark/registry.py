@@ -756,6 +756,20 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair PMI collocations (traindata.pmi_pairs) — the
+    association-strength refinement of bpe_merge_pairs; min_count
+    floor before the vocab²-bounded rank window, ln arguments are
+    ratios of exact integer products in a pinned association order.
+    Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import pmi_pairs
+
+    return pmi_pairs(_docs(spark, sf_dir), min_count=PMI_MIN_COUNT)
+
+
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide adjacent token-pair counts ranked by frequency
     (traindata.bpe_merge_pairs) — one BPE merge iteration's candidate
@@ -1178,6 +1192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "vocab_build": q_vocab_build,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "pmi_pairs": q_pmi_pairs,
     "shard_plan": q_shard_plan,
     "split_contamination": q_split_contamination,
     "tf_cosine": q_tf_cosine,
@@ -1906,6 +1921,41 @@ sims AS (
     FROM num JOIN nrm na ON num.a = na.doc_id JOIN nrm nb ON num.b = nb.doc_id
 )
 SELECT * FROM sims WHERE sim >= {TF_COSINE_THRESHOLD}
+"""
+
+ORACLE_SQL["pmi_pairs"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+uni AS (SELECT unnest(toks) AS term FROM tk),
+uc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY term),
+p AS (
+    SELECT toks[i] AS "left", toks[i+1] AS "right"
+    FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    WHERE len(toks) >= 2
+),
+pc AS (
+    SELECT "left", "right", CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t_tokens FROM uc),
+pt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_pairs FROM p),
+s AS (
+    SELECT pc."left", pc."right", pair_count,
+           floor((ln((CAST(pair_count AS DOUBLE) * t_tokens * t_tokens)
+                     / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE) * t_pairs))) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM pc
+    JOIN uc a ON pc."left" = a.term
+    JOIN uc b ON pc."right" = b.term
+    CROSS JOIN tot CROSS JOIN pt
+)
+SELECT "left", "right", pair_count, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, "left" ASC, "right" ASC) AS INT) AS rank
+FROM s
+QUALIFY rank <= 50
 """
 
 ORACLE_SQL["bpe_merge_pairs"] = f"""

@@ -451,3 +451,32 @@ def test_stratified_sample_small_stratum_kept_whole(spark):
     got = stratified_sample(docs, n_per=10).collect()
     assert {(r["lang"]) for r in got} == {"en", "rare"}
     assert len(got) == 3
+
+
+# --- pmi_pairs ------------------------------------------------------------
+
+
+def test_pmi_pairs_known_value(spark):
+    """A corpus where 'x y' is a perfect collocation (always adjacent)
+    and 'a b' is incidental: pmi(x,y) pinned to the analytic value and
+    ranked first."""
+    import math
+
+    from semantic_pdf_search_engine_spark.operators.traindata import pmi_pairs
+
+    # tokens: x y x y x y | a b a c a d  → c(x)=c(y)=3, c(xy)=3
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b a c a d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["left"], r["right"]): (r["pair_count"], r["pmi"], r["rank"])
+        for r in pmi_pairs(docs, min_count=2, top_k=10).collect()
+    }
+    T, P = 12.0, 10.0  # 12 tokens, 10 adjacent pairs (5 per doc)
+    want_pmi = math.floor(math.log((3 * T * T) / (3.0 * 3.0 * P)) * 1e6 + 0.5) / 1e6
+    assert got[("x", "y")] == (3, want_pmi, 1)
+    # 'y x' occurs twice (inside doc 1) with lower association
+    assert ("y", "x") in got and got[("y", "x")][0] == 2
+    # below min_count pairs are absent
+    assert ("a", "b") not in got
