@@ -519,3 +519,65 @@ def pmi_pairs(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def keyness_terms(
+    docs: DataFrame,
+    focus,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, focus_count, ref_count, g2, rank): log-likelihood keyness
+    (Dunning's G²) of every term in the FOCUS sub-corpus (rows matching
+    the `focus` Column predicate) against the rest — "which words
+    characterize this slice": with a = focus count, b = reference
+    count, A/B the sub-corpus token totals, E1 = A(a+b)/(A+B),
+    E2 = B(a+b)/(A+B),
+
+        g2 = 2·(a·ln(a/E1) + b·ln(b/E2)),   0-count terms contribute 0.
+
+    Ranked by g2 DESC (term ASC ties) over terms with a + b >=
+    min_count. Every ln argument is a ratio of exact integer-derived
+    doubles in a pinned association order (oracle twin mirrors it).
+
+    Shuffles: one groupBy(term) over the tagged token stream (counts
+    for both sides in one pass via conditional sums); totals broadcast;
+    rank window on the min_count survivors (vocab-bounded)."""
+    from pyspark.sql.window import Window
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    tagged = docs.select(
+        focus.cast("int").alias("_f"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    counts = tagged.groupBy("term").agg(
+        F.sum("_f").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("_f")).cast("long").alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("double").alias("ta"),
+        F.sum("b").cast("double").alias("tb"),
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    e1 = F.col("ta") * (a + b) / (F.col("ta") + F.col("tb"))
+    e2 = F.col("tb") * (a + b) / (F.col("ta") + F.col("tb"))
+    term_a = F.when(F.col("a") > 0, a * F.log(a / e1)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("b") > 0, b * F.log(b / e2)).otherwise(F.lit(0.0))
+    scored = (
+        counts.filter(F.col("a") + F.col("b") >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.col("a").alias("focus_count"),
+            F.col("b").alias("ref_count"),
+            round_half_up(F.lit(2.0) * (term_a + term_b), 6).alias("g2"),
+        )
+    )
+    w = Window.orderBy(F.col("g2").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -757,6 +757,20 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PMI_MIN_COUNT = 5
+KEYNESS_LANG = "en"
+
+
+def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood keyness (Dunning G²) of English-document terms
+    vs the rest of the corpus (traindata.keyness_terms) — "which terms
+    characterize this slice"; one conditional-sum groupBy over the
+    tagged token stream, totals broadcast, rank window over min_count
+    survivors. Hard oracle (pinned ln-argument shape)."""
+    from semantic_pdf_search_engine_spark.operators.traindata import keyness_terms
+
+    return keyness_terms(
+        _docs(spark, sf_dir), F.col("lang") == KEYNESS_LANG, min_count=PMI_MIN_COUNT
+    )
 
 
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,6 +1207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_build": q_vocab_build,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "pmi_pairs": q_pmi_pairs,
+    "keyness": q_keyness,
     "shard_plan": q_shard_plan,
     "split_contamination": q_split_contamination,
     "tf_cosine": q_tf_cosine,
@@ -1921,6 +1936,35 @@ sims AS (
     FROM num JOIN nrm na ON num.a = na.doc_id JOIN nrm nb ON num.b = nb.doc_id
 )
 SELECT * FROM sims WHERE sim >= {TF_COSINE_THRESHOLD}
+"""
+
+ORACLE_SQL["keyness"] = f"""
+WITH tagged AS (
+    SELECT CASE WHEN lang = '{KEYNESS_LANG}' THEN 1 ELSE 0 END AS f,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+c AS (
+    SELECT term,
+           CAST(SUM(f) AS BIGINT) AS a,
+           CAST(SUM(1 - f) AS BIGINT) AS b
+    FROM tagged GROUP BY term
+),
+tot AS (SELECT CAST(SUM(a) AS DOUBLE) AS ta, CAST(SUM(b) AS DOUBLE) AS tb FROM c),
+s AS (
+    SELECT term, a AS focus_count, b AS ref_count,
+           floor((2.0 * (
+               (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) / (ta * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) / (ta + tb))) ELSE 0.0 END)
+             + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) / (tb * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) / (ta + tb))) ELSE 0.0 END)
+           )) * 1000000.0 + 0.5) / 1000000.0 AS g2
+    FROM c CROSS JOIN tot
+    WHERE a + b >= {PMI_MIN_COUNT}
+)
+SELECT term, focus_count, ref_count, g2,
+       CAST(ROW_NUMBER() OVER (ORDER BY g2 DESC, term ASC) AS INT) AS rank
+FROM s
+QUALIFY rank <= 50
 """
 
 ORACLE_SQL["pmi_pairs"] = f"""

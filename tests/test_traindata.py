@@ -480,3 +480,33 @@ def test_pmi_pairs_known_value(spark):
     assert ("y", "x") in got and got[("y", "x")][0] == 2
     # below min_count pairs are absent
     assert ("a", "b") not in got
+
+
+def test_keyness_known_value(spark):
+    """Analytic G² for a two-doc corpus; exclusive terms rank top and
+    a balanced term scores ~0."""
+    import math
+
+    from semantic_pdf_search_engine_spark.operators.traindata import keyness_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "x x x common common"),
+            (2, "de", "y y y common common"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["term"]: (r["focus_count"], r["ref_count"], r["g2"])
+        for r in keyness_terms(
+            docs, F.col("lang") == "en", min_count=2, top_k=10
+        ).collect()
+    }
+    ta = tb = 5.0
+    # x: a=3, b=0 → only the a-term contributes
+    e1 = ta * 3.0 / (ta + tb)
+    want = math.floor(2.0 * (3.0 * math.log(3.0 / e1)) * 1e6 + 0.5) / 1e6
+    assert got["x"] == (3, 0, want)
+    assert got["y"][0] == 0 and got["y"][1] == 3
+    # perfectly balanced term: expected == observed → g2 == 0
+    assert got["common"] == (2, 2, 0.0)
