@@ -476,14 +476,16 @@ def pmi_pairs(
             ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
         ).alias("p")
     ).select("p.left", "p.right")
-    pc = (
-        pairs.groupBy("left", "right")
-        .agg(F.count("*").cast("long").alias("pair_count"))
-        .filter(F.col("pair_count") >= min_count)
+    # t_pairs comes from the UNFILTERED pair aggregate, not a second
+    # full pass over the token stream — both consumers share the same
+    # groupBy exchange (ReuseExchange dedupes the tokenize+zip subtree)
+    pc_all = pairs.groupBy("left", "right").agg(
+        F.count("*").cast("long").alias("pair_count")
     )
+    pc = pc_all.filter(F.col("pair_count") >= min_count)
     totals = uni.agg(F.sum("c").cast("double").alias("t_tokens"))
-    p_total = pairs.groupBy().count().select(
-        F.col("count").cast("double").alias("t_pairs")
+    p_total = pc_all.agg(
+        F.sum("pair_count").cast("double").alias("t_pairs")
     )
     ca = uni.select(F.col("term").alias("left"), F.col("c").alias("ca"))
     cb = uni.select(F.col("term").alias("right"), F.col("c").alias("cb"))
@@ -548,8 +550,10 @@ def keyness_terms(
 
     from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
 
+    # null predicate (e.g. NULL lang) counts as reference side, not a
+    # silently dropped token: coalesce before the conditional sums
     tagged = docs.select(
-        focus.cast("int").alias("_f"),
+        F.coalesce(focus.cast("int"), F.lit(0)).alias("_f"),
         F.explode(tokens_expr(F.col(text_col))).alias("term"),
     )
     counts = tagged.groupBy("term").agg(
