@@ -114,6 +114,30 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if args.cmd == "snapshots":
+        # pure manifest metadata (+ optional dir cleanup) — never pays
+        # SparkSession startup
+        from semantic_pdf_search_engine_spark.sources.index_store import (
+            Manifest,
+            expire_snapshots,
+        )
+
+        if args.expire_keep is not None:
+            print(json.dumps(expire_snapshots(args.index, args.expire_keep)))
+        for s in Manifest(args.index).data.get("snapshots", []):
+            print(
+                json.dumps(
+                    {
+                        "snapshot_id": s["snapshot_id"],
+                        "label": s["label"],
+                        "ts": s["ts"],
+                        "n_docs": s["params"].get("n_docs"),
+                        "n_files": {k: len(v) for k, v in s["tables"].items()},
+                    }
+                )
+            )
+        return 0
+
     from semantic_pdf_search_engine_spark.config import STRIPE_DOCS
     from semantic_pdf_search_engine_spark.session import get_spark
 
@@ -159,28 +183,6 @@ def main(argv: list[str] | None = None) -> int:
             hits = refine_spans(hits, args.q)
         for row in hits.collect():
             print(json.dumps(row.asDict(recursive=True), default=str))
-    elif args.cmd == "snapshots":
-        from semantic_pdf_search_engine_spark.sources.index_store import (
-            Manifest,
-            expire_snapshots,
-        )
-
-        if args.expire_keep is not None:
-            print(json.dumps(expire_snapshots(args.index, args.expire_keep)))
-        for s in Manifest(args.index).data.get("snapshots", []):
-            print(
-                json.dumps(
-                    {
-                        "snapshot_id": s["snapshot_id"],
-                        "label": s["label"],
-                        "ts": s["ts"],
-                        "n_docs": s["params"].get("n_docs"),
-                        "n_files": {
-                            k: len(v) for k, v in s["tables"].items()
-                        },
-                    }
-                )
-            )
     elif args.cmd == "build-pos-index":
         from semantic_pdf_search_engine_spark.operators.postings import (
             build_positional_index,

@@ -309,10 +309,23 @@ def phrase_occurrences(
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} long, n_occ int, first_pos int"
         )
+    return _phrase_over_postings(
+        positional_postings(docs, sorted(set(seq)), id_col, text_col), seq, id_col
+    )
+
+
+def _phrase_over_postings(
+    postings: DataFrame, seq: list[str], id_col: str
+) -> DataFrame:
+    """Shared tail of the on-the-fly and indexed phrase paths: pivot a
+    (term, doc_id, positions) DataFrame — already filtered to the
+    phrase's terms — to one term→positions map per doc, drop docs
+    missing any term (map-size guard), then run the Column adjacency
+    fold. ONE definition so the two sources cannot drift in phrase
+    semantics (parity also pinned in tests/test_spans.py)."""
     distinct_terms = sorted(set(seq))
     per_doc = (
-        positional_postings(docs, distinct_terms, id_col, text_col)
-        .groupBy(id_col)
+        postings.groupBy(id_col)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("term", "positions"))
@@ -320,6 +333,7 @@ def phrase_occurrences(
         )
         .filter(F.size(F.map_keys(F.col("pm"))) == len(distinct_terms))
     )
+
     def _adjacent(term: str, offset: int):
         # one-arg closure per fold step (extra lambda params would read
         # as a multi-arg HOF lambda to Spark's resolver)
@@ -419,33 +433,9 @@ def phrase_occurrences_indexed(
         return spark.createDataFrame([], f"{id_col} long, n_occ int, first_pos int")
     distinct_terms = sorted(set(seq))
     buckets = sorted({term_bucket_of(t) for t in distinct_terms})
-    per_doc = (
+    postings = (
         spark.read.parquet(index_dir)
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(distinct_terms))
-        .groupBy(id_col)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "positions"))
-            ).alias("pm")
-        )
-        .filter(F.size(F.map_keys(F.col("pm"))) == len(distinct_terms))
     )
-
-    def _adjacent(term: str, offset: int):
-        def pred(s):
-            return F.array_contains(F.element_at(F.col("pm"), term), s + offset)
-
-        return pred
-
-    starts = F.element_at(F.col("pm"), seq[0])
-    for j, t in enumerate(seq[1:], start=1):
-        starts = F.filter(starts, _adjacent(t, j))
-    return (
-        per_doc.select(
-            F.col(id_col),
-            F.size(starts).cast("int").alias("n_occ"),
-            F.array_min(starts).cast("int").alias("first_pos"),
-        )
-        .filter(F.col("n_occ") > 0)
-    )
+    return _phrase_over_postings(postings, seq, id_col)

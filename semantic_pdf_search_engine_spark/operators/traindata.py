@@ -250,18 +250,21 @@ DEFAULT_SAMPLE_RATES: dict[str, float] = {
 SAMPLE_SALT = "sample-v1"
 
 
+def salted_id_expr(id_col: Column, salt: str) -> Column:
+    """`id:salt` as a string — the input of every salted sampling hash
+    (one definition so all samplers hash identical bytes)."""
+    return F.concat(id_col.cast("string"), F.lit(":" + salt))
+
+
 def sample_hash_expr(id_col: Column, salt: str = SAMPLE_SALT) -> Column:
-    """Deterministic SALTED bucket in [0, SPLIT_BUCKETS): same md5
-    machinery as split_hash_expr but over `id:salt`, so the sampling
-    coin is INDEPENDENT of the train/val/test coin (a doc's inclusion
-    in a mixture never correlates with its split) and a new salt draws
-    a fresh independent sample. Exact DuckDB twin via the same
-    hex-nibble arithmetic."""
-    h = F.md5(
-        F.concat(id_col.cast("string"), F.lit(":" + salt)).cast("binary")
-    )
-    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    return (v % SPLIT_BUCKETS).cast("int")
+    """Deterministic SALTED bucket in [0, SPLIT_BUCKETS): the
+    split_hash_expr pipeline over `id:salt`, so the sampling coin is
+    INDEPENDENT of the train/val/test coin (a doc's inclusion in a
+    mixture never correlates with its split) and a new salt draws a
+    fresh independent sample. Reuses split_hash_expr — ONE copy of the
+    oracle-pinned md5/conv/mod arithmetic (cast-to-string on the
+    already-string salted id is a no-op)."""
+    return split_hash_expr(salted_id_expr(id_col, salt))
 
 
 def sample_corpus(
@@ -288,7 +291,7 @@ def sample_corpus(
     the two projected columns push into the parquet scan. Hard DuckDB
     oracle (registry `sample_weighted`)."""
     rates = DEFAULT_SAMPLE_RATES if rates is None else rates
-    for k, r in rates.items():
+    for k, r in {**rates, "<default_rate>": default_rate}.items():
         if r > 1.0 + 1e-12 or r < 0.0:
             raise ValueError(f"sample rate for {k!r} must be in [0, 1], got {r}")
     bucket = sample_hash_expr(F.col(id_col), salt)
@@ -321,6 +324,29 @@ def sample_corpus(
 # ---------------------------------------------------------------------------
 
 
+def adjacent_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(left, right): one row per ADJACENT token pair under the pinned
+    tokenizer — pure Column zip of the token array with its own tail
+    (no UDF, no shuffle). The shared pair-generation front of
+    bpe_merge_pairs and pmi_pairs (one definition; the DuckDB twin is
+    the generate_series window in their oracles)."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    return docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p")
+    ).select("p.left", "p.right")
+
+
 def bpe_merge_pairs(
     docs: DataFrame,
     top_k: int = 50,
@@ -342,21 +368,7 @@ def bpe_merge_pairs(
     shuffle beyond the count groupBy). Hard DuckDB oracle."""
     from pyspark.sql.window import Window
 
-    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
-
-    toks = tokens_expr(F.col(text_col))
-    pairs = docs.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.zip_with(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    F.slice(toks, 2, F.size(toks) - 1),
-                    lambda a, b: F.struct(a.alias("left"), b.alias("right")),
-                ),
-            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
-        ).alias("p")
-    ).select("p.left", "p.right")
+    pairs = adjacent_pairs(docs, text_col)
     counts = (
         pairs.groupBy("left", "right")
         .agg(F.count("*").cast("long").alias("pair_count"))
@@ -398,9 +410,7 @@ def stratified_sample(
     import pandas as pd
     from pyspark.sql.window import Window
 
-    h = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
-    )
+    h = F.md5(salted_id_expr(F.col(id_col), salt).cast("binary"))
     hashed = docs.select(F.col(id_col), F.col(key_col), h.alias("h"))
     k = n_per
 
@@ -464,18 +474,7 @@ def pmi_pairs(
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    pairs = docs.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.zip_with(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    F.slice(toks, 2, F.size(toks) - 1),
-                    lambda a, b: F.struct(a.alias("left"), b.alias("right")),
-                ),
-            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
-        ).alias("p")
-    ).select("p.left", "p.right")
+    pairs = adjacent_pairs(docs, text_col)
     # t_pairs comes from the UNFILTERED pair aggregate, not a second
     # full pass over the token stream — both consumers share the same
     # groupBy exchange (ReuseExchange dedupes the tokenize+zip subtree)

@@ -300,30 +300,39 @@ class InvertedIndex:
     def docfreq_path(self) -> str:
         return f"{self.index_dir}/{self.docfreq_rel}"
 
-    @property
-    def postings(self) -> DataFrame:
-        if self._postings_cached is not None:
-            return self._postings_cached
+    def _read_postings(self) -> DataFrame:
         if self.postings_files is not None:
             return self.spark.read.option("basePath", self.postings_path).parquet(
                 *self.postings_files
             )
         return self.spark.read.parquet(self.postings_path)
 
+    def _read_docfreq(self) -> DataFrame:
+        if self.docfreq_files is not None:
+            return self.spark.read.parquet(*self.docfreq_files)
+        return self.spark.read.parquet(self.docfreq_path)
+
+    @property
+    def postings(self) -> DataFrame:
+        if self._postings_cached is not None:
+            return self._postings_cached
+        return self._read_postings()
+
     @property
     def docfreq(self) -> DataFrame:
         if self._docfreq_cached is not None:
             return self._docfreq_cached
-        if self.docfreq_files is not None:
-            return self.spark.read.parquet(*self.docfreq_files)
-        return self.spark.read.parquet(self.docfreq_path)
+        return self._read_docfreq()
 
     def prepare(self) -> "InvertedIndex":
         """Pin the hot read path in executor memory for a query-serving
         session (a real deployment keeps postings resident; per-query
         parquet re-reads are a cold-start artifact). Lazy on first use."""
-        self._postings_cached = self.spark.read.parquet(self.postings_path).persist()
-        self._docfreq_cached = self.spark.read.parquet(self.docfreq_path).persist()
+        # resolve through the same file-list logic as the lazy
+        # properties — on a snapshot handle, prepare() must pin the
+        # SNAPSHOT's files, not the current table state
+        self._postings_cached = self._read_postings().persist()
+        self._docfreq_cached = self._read_docfreq().persist()
         self._postings_cached.count()
         self._docfreq_cached.count()
         return self
@@ -382,6 +391,16 @@ def load_index(
             f"snapshot {snapshot_id} is unreadable: {len(missing)} file(s) "
             f"missing (first: {missing[0]})"
         )
+    for base in ("postings", "docfreq", "docs"):
+        if not s["tables"].get(base):
+            # fail at LOAD time with a clear message — an empty file
+            # list would otherwise surface as an opaque read error on
+            # the first query
+            raise ValueError(
+                f"snapshot {snapshot_id} records no files for table "
+                f"{base!r} — the snapshot predates that table or the "
+                "manifest is damaged"
+            )
     return InvertedIndex(
         spark,
         index_dir,
@@ -391,9 +410,9 @@ def load_index(
         postings_rel=p.get("postings_rel", "postings"),
         docfreq_rel=p.get("docfreq_rel", "docfreq"),
         docs_rel=p.get("docs_rel", "docs"),
-        postings_files=s["tables"].get("postings") or [],
-        docfreq_files=s["tables"].get("docfreq") or [],
-        docs_files=s["tables"].get("docs") or [],
+        postings_files=s["tables"]["postings"],
+        docfreq_files=s["tables"]["docfreq"],
+        docs_files=s["tables"]["docs"],
     )
 
 
