@@ -391,3 +391,49 @@ def test_docs_added_between_snapshots(spark, corpora, tmp_path):
     compact_docs_tf(spark, d, target_rows_per_file=10_000)
     added2 = docs_added_between(spark, d, from_snapshot=0)
     assert {r["doc_id"] for r in added2.select("doc_id").collect()} == ids
+
+
+def test_snapshot_prepare_pins_snapshot_files(spark, corpora, tmp_path):
+    """prepare() on a time-travel handle must pin the SNAPSHOT's
+    postings/docfreq, not the current table state — winners and scores
+    stay the pre-append answers even with the hot path cached."""
+    _, a, b = corpora
+    d = str(tmp_path / "ttp")
+    idx_a = build_index(spark, a, d, stripe_docs=64)
+    q = make_queries(24)[2]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in score_topk(idx_a, q, 10, round_scores=False).collect()
+    ]
+    append_to_index(spark, b, d)
+
+    old = load_index(spark, d, snapshot_id=0).prepare()
+    try:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in score_topk(old, q, 10, round_scores=False).collect()
+        ]
+        assert [x for x, _ in got] == [x for x, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+        assert old.postings.count() == load_index(spark, d, snapshot_id=0).postings.count()
+    finally:
+        old._postings_cached.unpersist()
+        old._docfreq_cached.unpersist()
+
+
+def test_snapshot_empty_table_list_rejected_at_load(spark, corpora, tmp_path):
+    """A damaged snapshot (empty file list for a table) fails at load
+    with a clear message, not on first query."""
+    import json
+
+    from semantic_pdf_search_engine_spark.sources.index_store import Manifest
+
+    _, a, _ = corpora
+    d = str(tmp_path / "dmg")
+    build_index(spark, a, d, stripe_docs=64)
+    m = Manifest(d)
+    m.data["snapshots"][0]["tables"]["docfreq"] = []
+    m.save()
+    with pytest.raises(ValueError, match="records no files"):
+        load_index(spark, d, snapshot_id=0)
