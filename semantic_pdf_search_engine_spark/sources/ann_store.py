@@ -52,10 +52,46 @@ from semantic_pdf_search_engine_spark.operators.similarity import (
 
 MANIFEST_NAME = "ann_manifest.json"
 
+ANN_SNAPSHOT_KEEP = 8  # bounded snapshot history (metadata only)
+
+
+def _ann_table_files(index_dir: str, table: str) -> list[str]:
+    p = Path(index_dir) / table
+    return sorted(str(f) for f in p.rglob("*.parquet")) if p.exists() else []
+
+
+def _record_ann_snapshot(d: Path, manifest: dict, label: str) -> int:
+    """Iceberg-style snapshot for the ANN store: n_rows + exact file
+    lists of both tables. The store is APPEND-ONLY (buckets gain files,
+    nothing is rewritten — planes/centroids are frozen at build), so a
+    snapshot's files always remain readable and no deletion guards or
+    dir retention are needed; history is metadata, bounded at
+    ANN_SNAPSHOT_KEEP entries."""
+    snaps = manifest.setdefault("snapshots", [])
+    sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 0
+    snaps.append(
+        {
+            "snapshot_id": sid,
+            "label": label,
+            "n_rows": manifest["n_rows"],
+            "tables": {
+                "lsh": _ann_table_files(str(d), "lsh"),
+                "ivf": _ann_table_files(str(d), "ivf"),
+            },
+        }
+    )
+    del snaps[:-ANN_SNAPSHOT_KEEP]
+    return sid
+
 
 @dataclass
 class AnnIndex:
-    """Handle to a built ANN store (planes/centroids loaded driver-side)."""
+    """Handle to a built ANN store (planes/centroids loaded driver-side).
+    With `lsh_files`/`ivf_files` set (time-travel via
+    `load_ann_index(..., snapshot_id=s)`), the tables resolve to the
+    snapshot's exact file lists — vectors appended after the snapshot
+    are invisible; basePath keeps the bucket partition columns, so
+    probe-set PartitionFilters still prune."""
 
     spark: SparkSession
     index_dir: str
@@ -63,13 +99,23 @@ class AnnIndex:
     n_rows: int
     planes: np.ndarray
     centroids: np.ndarray
+    lsh_files: list[str] | None = None
+    ivf_files: list[str] | None = None
 
     @property
     def lsh(self) -> DataFrame:
+        if self.lsh_files is not None:
+            return self.spark.read.option(
+                "basePath", f"{self.index_dir}/lsh"
+            ).parquet(*self.lsh_files)
         return self.spark.read.parquet(f"{self.index_dir}/lsh")
 
     @property
     def ivf(self) -> DataFrame:
+        if self.ivf_files is not None:
+            return self.spark.read.option(
+                "basePath", f"{self.index_dir}/ivf"
+            ).parquet(*self.ivf_files)
         return self.spark.read.parquet(f"{self.index_dir}/ivf")
 
 
@@ -129,21 +175,45 @@ def build_ann_index(
         "planes": planes.tolist(),
         "centroids": centroids.tolist(),
     }
+    _record_ann_snapshot(d, manifest, "build")
     tmp = d / (MANIFEST_NAME + ".tmp")
     tmp.write_text(json.dumps(manifest))
     os.replace(tmp, d / MANIFEST_NAME)
     return AnnIndex(spark, index_dir, dim, n_rows, planes, centroids)
 
 
-def load_ann_index(spark: SparkSession, index_dir: str) -> AnnIndex:
+def load_ann_index(
+    spark: SparkSession, index_dir: str, snapshot_id: int | None = None
+) -> AnnIndex:
+    """Open the store at its current state, or — with snapshot_id —
+    time-travel to a retained snapshot (exact file lists; appended
+    vectors invisible, n_rows restored). Planes/centroids are frozen
+    at build so they are shared by every snapshot."""
     m = json.loads((Path(index_dir) / MANIFEST_NAME).read_text())
+    planes = np.asarray(m["planes"], dtype=np.float64)
+    centroids = np.asarray(m["centroids"], dtype=np.float64)
+    if snapshot_id is None:
+        return AnnIndex(spark, index_dir, m["dim"], m["n_rows"], planes, centroids)
+    snaps = {s["snapshot_id"]: s for s in m.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"ANN snapshot {snapshot_id} not found (retained: {sorted(snaps)})"
+        )
+    s = snaps[snapshot_id]
+    for t in ("lsh", "ivf"):
+        if not s["tables"].get(t):
+            raise ValueError(
+                f"ANN snapshot {snapshot_id} records no files for {t!r}"
+            )
     return AnnIndex(
         spark,
         index_dir,
         m["dim"],
-        m["n_rows"],
-        np.asarray(m["planes"], dtype=np.float64),
-        np.asarray(m["centroids"], dtype=np.float64),
+        s["n_rows"],
+        planes,
+        centroids,
+        lsh_files=s["tables"]["lsh"],
+        ivf_files=s["tables"]["ivf"],
     )
 
 
@@ -210,6 +280,7 @@ def append_to_ann_index(
         assigned.unpersist()
     m = json.loads((d / MANIFEST_NAME).read_text())
     m["n_rows"] += n_new
+    _record_ann_snapshot(d, m, "append")
     tmp = d / (MANIFEST_NAME + ".tmp")
     tmp.write_text(json.dumps(m))
     os.replace(tmp, d / MANIFEST_NAME)

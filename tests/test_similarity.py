@@ -436,3 +436,51 @@ def test_knn_join_broadcast_guard_raises(emb, spark, tmp_path):
     idx = build_ann_index(spark, emb.limit(100), str(tmp_path / "ann4"))
     with pytest.raises(ValueError, match="max_queries"):
         knn_join_lsh(idx, queries, k=2, max_queries=10).collect()
+
+
+def test_ann_store_snapshot_time_travel(spark, tmp_path):
+    """A snapshot taken at build answers with the pre-append vector set
+    after an append (appended vectors invisible, n_rows restored),
+    while the current handle sees them; partition pruning still fires
+    on the snapshot read."""
+    import numpy as np
+
+    from semantic_pdf_search_engine_spark.sources.ann_store import (
+        append_to_ann_index,
+        build_ann_index,
+        load_ann_index,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    base = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "annsnap")
+    idx = build_ann_index(spark, emb, d, n_planes=4, n_centroids=4)
+    q = [float(x) for x in rng.standard_normal(8)]
+    want = [r["vec_id"] for r in lsh_topk(idx, q, k=5, multiprobe_bits=2).collect()]
+
+    extra = [
+        (1000 + i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)
+    ]
+    append_to_ann_index(
+        idx, spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+    )
+
+    old = load_ann_index(spark, d, snapshot_id=0)
+    assert old.n_rows == 60
+    assert old.lsh.count() == 60 and old.ivf.count() == 60
+    got = [r["vec_id"] for r in lsh_topk(old, q, k=5, multiprobe_bits=2).collect()]
+    assert got == want
+    assert all(v < 1000 for v in got)
+
+    cur = load_ann_index(spark, d)
+    assert cur.n_rows == 100 and cur.lsh.count() == 100
+
+    plan = (
+        lsh_topk(old, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "_bucket" in plan
+
+    with pytest.raises(ValueError, match="not found"):
+        load_ann_index(spark, d, snapshot_id=99)
