@@ -696,3 +696,86 @@ def tf_cosine_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup decision: near-dup pairs → clusters → canonical keep-list
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_rep): connected components of the near-dup graph by
+    iterative MIN-LABEL PROPAGATION — each node's label becomes the
+    minimum of its own and its neighbors' labels until fixpoint, so
+    cluster_rep = the smallest doc id reachable (deterministic
+    canonical representative). Singletons (docs in no pair) keep
+    themselves.
+
+    Scale shape: each round is one join edges⋈labels + a groupBy(dst)
+    min + a left join back — all shuffles on node ids (uniform).
+    Rounds needed = graph diameter; near-dup clusters are
+    shallow-diameter by construction (dense similarity cliques), so
+    convergence is a handful of rounds — for adversarially chain-
+    shaped graphs swap in the large-star/small-star contraction
+    (same per-round primitives, O(log n) rounds). Labels are
+    localCheckpoint-ed per round (lineage would otherwise double every
+    iteration); convergence is detected by a changed-row count."""
+    lab = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lab")
+    ).localCheckpoint()
+    e = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        cand = (
+            e.join(lab, e["src"] == lab["node"])
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        # change detection rides along in the SAME propagation pass (a
+        # `chg` flag column) instead of a per-round join of new-vs-old
+        # labels; the convergence probe then only filters the already-
+        # checkpointed blocks
+        upd = F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab")))
+        new = (
+            lab.join(cand, lab["node"] == cand["dst"], "left")
+            .select(
+                F.col("node"),
+                upd.alias("newlab"),
+                (upd < F.col("lab")).cast("int").alias("chg"),
+            )
+            .withColumnRenamed("newlab", "lab")
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("chg") == 1).limit(1).count()
+        lab = new.drop("chg")
+        if changed == 0:
+            break
+    return lab.select(F.col("node").alias(id_col), F.col("lab").alias("cluster_rep"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_rep, keep): the dedup DECISION step downstream
+    of any pair generator (minhash / simhash / jaccard / tf-cosine /
+    embedding LSH): transitively close the pair graph into clusters and
+    keep exactly one canonical doc per cluster (the minimum id — the
+    usual keep-first policy; swap the representative choice by mapping
+    labels afterwards). keep is int (1/0) for oracle-stable typing."""
+    cc = connected_components(docs.select(id_col), pairs, id_col)
+    return cc.select(
+        id_col,
+        "cluster_rep",
+        (F.col(id_col) == F.col("cluster_rep")).cast("int").alias("keep"),
+    )

@@ -284,6 +284,23 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step (dedup.dedup_clusters): simhash near-dup
+    pairs (the exact hamming ≤ 3 generator) transitively closed into
+    clusters by min-label propagation; one canonical doc kept per
+    cluster (min id). Hard oracle: the pair SQL reused as a CTE feeding
+    a DuckDB RECURSIVE min-label closure — the driver checks the
+    iterative distributed fixpoint against the declarative transitive
+    closure."""
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_neardup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _PAIR_BOUND)
+    return dedup_clusters(docs, simhash_neardup_pairs(docs))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.operators.similarity import brute_cosine_topk
 
@@ -1185,6 +1202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_prod": q_minhash_lsh_prod,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
+    "dedup_clusters": q_dedup_clusters,
     "ann_brute": q_ann_brute,
     "knn_join": q_knn_join,
     "knn_join_ann": q_knn_join_ann,
@@ -2055,3 +2073,27 @@ FROM pos GROUP BY doc_id
 # non-SQL-expressible ops → rows-only checks; ann_lsh recall is asserted
 # in tests/test_similarity.py, fuzzy span behavior in tests/test_spans.py
 # (ported reference artifact vectors).
+
+# dedup_clusters oracle: the simhash_neardup pair SQL becomes a CTE
+# feeding a RECURSIVE min-label closure — built by reusing the pair
+# oracle VERBATIM (string surgery keeps the two queries' pair
+# definitions literally identical, so a change to one cannot drift)
+_SIM_SQL = ORACLE_SQL["simhash_neardup"].strip()
+assert _SIM_SQL.startswith("WITH")
+_SIM_CHAIN, _SIM_FINAL = _SIM_SQL[len("WITH"):].rsplit("SELECT DISTINCT", 1)
+
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE {_SIM_CHAIN.rstrip().rstrip(',')},
+pairs AS (SELECT DISTINCT {_SIM_FINAL.strip()}),
+e AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+ids AS (SELECT doc_id AS node FROM documents WHERE doc_id < {_PAIR_BOUND}),
+reach AS (
+    SELECT node, node AS lab FROM ids
+    UNION
+    SELECT e.b AS node, reach.lab FROM reach JOIN e ON reach.node = e.a
+)
+SELECT node AS doc_id,
+       CAST(MIN(lab) AS BIGINT) AS cluster_rep,
+       CAST(CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS INT) AS keep
+FROM reach GROUP BY node
+"""

@@ -611,3 +611,49 @@ def test_dup_passages_matches_python_twin_property(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+# --- connected components / dedup_clusters --------------------------------
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A chain a-b, b-c clusters all three to min id even though a and
+    c never share a pair (the transitive-closure property pair lists
+    alone don't give); disconnected docs stay their own kept
+    singletons."""
+    from semantic_pdf_search_engine_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 8)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["keep"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 1),
+        2: (1, 0),
+        3: (1, 0),
+        7: (7, 1),
+        8: (7, 0),
+        9: (9, 1),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 20-node path graph (worst diameter shape) still converges to
+    one component within the iteration budget."""
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 20
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in connected_components(ids, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
