@@ -215,3 +215,27 @@ def redact_pii(text: Column) -> Column:
     t = F.coalesce(text, F.lit(""))
     t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(t, LONG_NUM_RE, "<NUM>")
+
+
+def quality_verdict(
+    text: Column,
+    min_words: int = 10,
+    min_alpha: float = 0.5,
+    min_quality: float = 0.3,
+) -> Column:
+    """First-failing-rule verdict for the corpus-filter pass: the
+    composed keep/drop DECISION downstream of the individual quality
+    signals (the filtering analog of dedup_clusters' role for pair
+    generators). Pinned rule ORDER — too_short, garbage, low_alpha,
+    low_quality, pass — so the reason a doc is dropped is
+    deterministic, auditable, and countable per rule. All comparisons
+    are over already-pinned expressions (ints; quality_score's
+    arithmetic-rounded double; alpha_ratio's identical-IEEE-ops
+    double), so the SQL twin can never tie-split."""
+    return (
+        F.when(word_count(text) < min_words, F.lit("too_short"))
+        .when(is_garbage(text), F.lit("garbage"))
+        .when(alpha_ratio(text) < min_alpha, F.lit("low_alpha"))
+        .when(quality_score(text) < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("pass"))
+    )

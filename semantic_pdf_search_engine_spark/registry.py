@@ -197,6 +197,34 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QF_MIN_WORDS = 30
+QF_MIN_ALPHA = 0.81
+QF_MIN_QUALITY = 0.62
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-filter verdict (quality.quality_verdict): the
+    keep/drop DECISION with a pinned first-failing-rule reason
+    (too_short → garbage → low_alpha → low_quality → pass) — the
+    filtering analog of dedup_clusters' role for pair generators.
+    Demo thresholds chosen to exercise every reachable branch on the
+    fixture corpus. Pure Column expr; hard oracle."""
+    from semantic_pdf_search_engine_spark.functions.quality import quality_verdict
+
+    t = F.col("text")
+    reason = quality_verdict(
+        t,
+        min_words=QF_MIN_WORDS,
+        min_alpha=QF_MIN_ALPHA,
+        min_quality=QF_MIN_QUALITY,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "pass").cast("int").alias("keep"),
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus cleaning pass: intra-document repeated-line removal
     (first occurrence kept — boilerplate cut) + pattern-based PII
@@ -1196,6 +1224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_headers": q_remove_headers,
     "lang_quality": q_lang_quality,
     "clean_text": q_clean_text,
+    "quality_filter": q_quality_filter,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -2073,6 +2102,42 @@ FROM pos GROUP BY doc_id
 # non-SQL-expressible ops → rows-only checks; ann_lsh recall is asserted
 # in tests/test_similarity.py, fuzzy span behavior in tests/test_spans.py
 # (ported reference artifact vectors).
+
+_QF_WC = _WC.format(t="text")
+_QF_ALPHA = _ALPHA.format(t="text")
+_QF_GARBAGE = (
+    "((length(text) - length(replace(text, '.', ''))) > 10 "
+    "AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) < 5 "
+    "AND length(regexp_replace(text, '[^0-9]', '', 'g')) > 0)"
+)
+
+ORACLE_SQL["quality_filter"] = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+), r AS (
+    SELECT doc_id, text, toks,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sr
+    FROM t
+), v AS (
+    SELECT doc_id,
+           CASE WHEN {_QF_WC} < {QF_MIN_WORDS} THEN 'too_short'
+                WHEN {_QF_GARBAGE} THEN 'garbage'
+                WHEN {_QF_ALPHA} < {QF_MIN_ALPHA} THEN 'low_alpha'
+                WHEN floor((LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+                            + {_QF_ALPHA} * 0.3
+                            + LEAST(sr * 4.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 < {QF_MIN_QUALITY} THEN 'low_quality'
+                ELSE 'pass' END AS reason
+    FROM r
+)
+SELECT doc_id, reason,
+       CAST(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS INT) AS keep
+FROM v
+"""
 
 # dedup_clusters oracle: the simhash_neardup pair SQL becomes a CTE
 # feeding a RECURSIVE min-label closure — built by reusing the pair

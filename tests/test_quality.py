@@ -122,3 +122,45 @@ def test_dedup_lines_and_redact_pii(spark):
     assert out[1][0] == "header\nbody one\nbody two"
     assert out[2][1] == "write <EMAIL> or call <NUM> now"
     assert out[3] == ("", "")  # null-safe
+
+
+# --- quality_verdict ------------------------------------------------------
+
+
+def test_quality_verdict_rule_order_and_branches(spark):
+    """Each rule fires on a crafted doc, in the pinned order (a doc
+    failing multiple rules reports the FIRST)."""
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.functions.quality import quality_verdict
+
+    docs = spark.createDataFrame(
+        [
+            (1, "just a few words"),                         # too_short
+            (2, "1.2.3 4.5.6 7.8.9 " * 4),                   # garbage: 12 words, 0 letters, 24 dots
+            (3, "12345 67890 12345 67890 " * 10),            # low_alpha
+            (4, ("the quick brown fox jumps over it and " * 12)),  # pass-ish
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["v"]
+        for r in docs.select(
+            "doc_id",
+            quality_verdict(
+                F.col("text"), min_words=10, min_alpha=0.5, min_quality=0.3
+            ).alias("v"),
+        ).collect()
+    }
+    assert got[1] == "too_short"
+    assert got[2] == "garbage"
+    assert got[3] == "low_alpha"
+    assert got[4] == "pass"
+    # rule order: a doc that is BOTH too short and garbage reports too_short
+    both = spark.createDataFrame(
+        [(9, "1.2.3.4.5.6.7.8.9.10.11")], "doc_id long, text string"
+    )
+    r = both.select(
+        quality_verdict(F.col("text"), min_words=10).alias("v")
+    ).collect()[0]
+    assert r["v"] == "too_short"
