@@ -421,14 +421,18 @@ REPETITION_NS = (2, 3, 5)  # n-gram sizes for within-doc repetition
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the input has fewer partitions
-    than the cluster has slots — a small parquet file scans as one
-    partition and would serialize the Arrow gram passes onto a single
-    task (measured 14 s → ~2 s for repetition_metrics at sf0.1). At
-    corpus scale the input already has >= slots partitions and this is
-    a no-op (no shuffle added)."""
+    """Round-robin repartition ONLY when the input is a small FILE SCAN
+    — a small parquet file scans as one partition and would serialize
+    the Arrow gram passes onto a single task (measured 14 s → ~2 s for
+    repetition_metrics at sf0.1). The probe is `inputFiles()`, plan
+    metadata only: probing `.rdd.getNumPartitions()` instead would
+    force AQE to finalize (and execute) any upstream shuffle stages
+    just to read a count. Derived inputs (empty file list, or many
+    files) are left untouched — their shuffle partitioning already
+    matches the session setting."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if 0 < len(files) < target:
         return df.repartition(target)
     return df
 
@@ -757,9 +761,23 @@ def connected_components(
         )
         changed = new.filter(F.col("chg") == 1).limit(1).count()
         lab = new.drop("chg")
+        # the previous round's checkpointed blocks are orphaned once
+        # `lab` rebinds; a prompt driver GC lets the ContextCleaner
+        # release them so long chains hold ~2 label copies, not
+        # max_iter copies
+        import gc
+
+        gc.collect()
         if changed == 0:
-            break
-    return lab.select(F.col("node").alias(id_col), F.col("lab").alias("cluster_rep"))
+            return lab.select(
+                F.col("node").alias(id_col), F.col("lab").alias("cluster_rep")
+            )
+    raise ValueError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "rounds (component diameter exceeds the budget) — raise max_iter, "
+        "or use a star-contraction variant for chain-shaped graphs; "
+        "returning a partial labeling would silently keep duplicates"
+    )
 
 
 def dedup_clusters(

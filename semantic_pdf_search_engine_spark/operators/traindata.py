@@ -291,7 +291,9 @@ def sample_corpus(
     the two projected columns push into the parquet scan. Hard DuckDB
     oracle (registry `sample_weighted`)."""
     rates = DEFAULT_SAMPLE_RATES if rates is None else rates
-    for k, r in {**rates, "<default_rate>": default_rate}.items():
+    if default_rate > 1.0 + 1e-12 or default_rate < 0.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    for k, r in rates.items():
         if r > 1.0 + 1e-12 or r < 0.0:
             raise ValueError(f"sample rate for {k!r} must be in [0, 1], got {r}")
     bucket = sample_hash_expr(F.col(id_col), salt)

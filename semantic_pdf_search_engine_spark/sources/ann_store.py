@@ -56,8 +56,9 @@ ANN_SNAPSHOT_KEEP = 8  # bounded snapshot history (metadata only)
 
 
 def _ann_table_files(index_dir: str, table: str) -> list[str]:
-    p = Path(index_dir) / table
-    return sorted(str(f) for f in p.rglob("*.parquet")) if p.exists() else []
+    from semantic_pdf_search_engine_spark.sources.index_store import parquet_files
+
+    return parquet_files(Path(index_dir) / table)
 
 
 def _record_ann_snapshot(d: Path, manifest: dict, label: str) -> int:

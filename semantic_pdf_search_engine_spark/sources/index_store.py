@@ -132,6 +132,14 @@ _SNAPSHOT_BASES = ("postings", "docfreq", "docs", "tf")
 SNAPSHOT_KEEP_DEFAULT = 5
 
 
+def parquet_files(table_dir) -> list[str]:
+    """Sorted parquet file list of a table directory ([] if absent) —
+    the one definition of 'a table's files' shared by both stores'
+    snapshot recorders (index_store here, sources/ann_store)."""
+    p = Path(table_dir)
+    return sorted(str(f) for f in p.rglob("*.parquet")) if p.exists() else []
+
+
 def record_snapshot(m: "Manifest", index_dir: str, label: str) -> int:
     """Append an Iceberg-style SNAPSHOT to the manifest: the current
     params plus the exact parquet file list of every table. Because
@@ -143,13 +151,10 @@ def record_snapshot(m: "Manifest", index_dir: str, label: str) -> int:
     exactly the files that existed when s was taken."""
     params = dict(m.data["params"])
     d = Path(index_dir)
-    tables: dict[str, list[str]] = {}
-    for base in _SNAPSHOT_BASES:
-        rel = params.get(f"{base}_rel", base)
-        p = d / rel
-        tables[base] = (
-            sorted(str(f) for f in p.rglob("*.parquet")) if p.exists() else []
-        )
+    tables: dict[str, list[str]] = {
+        base: parquet_files(d / params.get(f"{base}_rel", base))
+        for base in _SNAPSHOT_BASES
+    }
     snaps = m.data.setdefault("snapshots", [])
     sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 0
     snaps.append(

@@ -657,3 +657,19 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r["doc_id"]: r["cluster_rep"] for r in connected_components(ids, pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iter must raise, never silently return a partial
+    labeling (which would keep duplicate docs)."""
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(ids, pairs, max_iter=3)
