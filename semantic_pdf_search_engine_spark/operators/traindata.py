@@ -586,3 +586,49 @@ def keyness_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, weight, rank): each document's top-k TF-IDF
+    terms — keyword extraction, the per-document summary every corpus
+    browser/labeling pass wants. weight = tf · ln(N/df) with N the doc
+    count and df the term's document frequency, evaluated in a pinned
+    shape (single multiply of a double by one ln — deterministic
+    cross-engine, same class as the BM25 idf); rank by weight DESC,
+    term ASC within each doc (row_number window partitioned by doc —
+    per-doc state only, no global sort). Shuffles: tf groupBy
+    (doc, term), df groupBy(term) broadcast back, per-doc rank window.
+    Hard DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.count()
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "weight",
+            round_half_up(
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "weight", "rank")
+    )

@@ -829,6 +829,17 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(_docs(spark, sf_dir), min_count=PMI_MIN_COUNT)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (traindata.
+    tfidf_top_terms): top-5 terms per doc by tf·ln(N/df), per-doc rank
+    window, pinned weight shape. Hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide adjacent token-pair counts ranked by frequency
     (traindata.bpe_merge_pairs) — one BPE merge iteration's candidate
@@ -1255,6 +1266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "pmi_pairs": q_pmi_pairs,
     "keyness": q_keyness,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "shard_plan": q_shard_plan,
     "split_contamination": q_split_contamination,
     "tf_cosine": q_tf_cosine,
@@ -1983,6 +1995,22 @@ sims AS (
     FROM num JOIN nrm na ON num.a = na.doc_id JOIN nrm nb ON num.b = nb.doc_id
 )
 SELECT * FROM sims WHERE sim >= {TF_COSINE_THRESHOLD}
+"""
+
+ORACLE_SQL["tfidf_top_terms"] = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+s AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           floor((CAST(tf.tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS weight
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, weight,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS INT) AS rank
+FROM s
+QUALIFY rank <= 5
 """
 
 ORACLE_SQL["keyness"] = f"""

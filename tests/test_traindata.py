@@ -510,3 +510,31 @@ def test_keyness_known_value(spark):
     assert got["y"][0] == 0 and got["y"][1] == 3
     # perfectly balanced term: expected == observed → g2 == 0
     assert got["common"] == (2, 2, 0.0)
+
+
+def test_tfidf_top_terms_known_values(spark):
+    """Weight = tf·ln(N/df) pinned on a tiny corpus; per-doc rank with
+    term-asc ties; docs with fewer terms than k emit what they have."""
+    import math
+
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana shared"), (2, "cherry shared")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["weight"], r["rank"])
+        for r in tfidf_top_terms(docs, top_k=5).collect()
+    }
+    ln2 = math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6
+    # apple: tf=2, df=1 → 2·ln(2) ranks first in doc 1
+    w_apple = math.floor(2 * math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert got[(1, "apple")] == (2, w_apple, 1)
+    assert got[(1, "banana")] == (1, ln2, 2)
+    # shared: df=2 → ln(1)=0 weight, ranks last
+    assert got[(1, "shared")] == (1, 0.0, 3)
+    assert got[(2, "cherry")] == (1, ln2, 1)
+    assert got[(2, "shared")] == (1, 0.0, 2)
