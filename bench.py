@@ -5,10 +5,18 @@ Default mode: at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]:
   1. index build over a deterministic synthetic transcript corpus
      (size scaled by sf) — reports turns/sec;
-  2. query p50 latency over the reference query set through the
+  2. query p50/p95 latency over the reference query set through the
      compressed-index block-max path;
   3. headline relational/BM25/dedup queries on the driver testdata.
 Prints ONE JSON line {"metric", "value", "unit", "queries", "sf", ...}.
+
+Contention defense (this sandbox host steals CPU with ±2-3x run-to-run
+variance): default mode runs best-of-$SPARK_GRAFT_BENCH_REPS (2)
+alternating whole-suite passes with per-query minima, records
+/proc/stat steal%% per phase in `host_steal_pct`, and degrades to one
+annotated pass when the $SPARK_GRAFT_BENCH_BUDGET_SEC (1200) wall
+budget is at risk — the artifact carries the evidence to adjudicate
+noise vs regression either way.
 
 `--scaling` mode (run manually, results committed to BENCH/BASELINE.md):
 runs the identical build at local[8] and local[32] in separate
@@ -215,14 +223,38 @@ def main():
         return
 
     # ---- default per-round bench ------------------------------------------
+    # Contention-aware protocol (VERDICT r3 next #1): this host steals
+    # CPU with documented ±2-3x run-to-run variance, so a single-rep
+    # bench cannot distinguish a code regression from a noisy neighbor.
+    # Default mode therefore (a) records /proc/stat steal%% PER PHASE,
+    # (b) runs best-of-N alternating whole-suite passes (per-query min
+    # across passes — contention is bursty, so alternating passes beat
+    # back-to-back repeats), and (c) reports the index-query p95. The
+    # second pass is skipped if the first already blew the wall budget
+    # (a badly contended host should produce ONE honest annotated pass,
+    # not time out the driver).
     from semantic_pdf_search_engine_spark import registry
     from semantic_pdf_search_engine_spark.session import get_spark
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200"))
+    bench_t0 = time.time()
+    steal: dict[str, float] = {}
+
+    builds = []
+    for i in range(reps):
+        with tempfile.TemporaryDirectory() as d:
+            r = run_build_and_queries(CPUS, d, n_convs)
+        builds.append(r)
+        steal[f"build_rep{i}"] = r["host_steal_pct_during_build"]
+        if time.time() - bench_t0 > budget / 3:
+            break
+    m = max(builds, key=lambda r: r["turns_per_sec"])
+
     queries: dict[str, float] = {}
-    with tempfile.TemporaryDirectory() as d:
-        m = run_build_and_queries(CPUS, d, n_convs)
     queries["index_build"] = m["build_sec"]
     queries["query_p50"] = m["query_p50_sec"]
+    queries["query_p95"] = m["query_p95_sec"]
     queries["query_batch_per_query"] = m["query_batch_per_query_sec"]
 
     # headline registry queries on the driver testdata
@@ -236,10 +268,22 @@ def main():
     registry._doc_index(spark, SF_DIR)
     registry._pos_index(spark, SF_DIR)
     cache_warm = round(time.time() - t0, 2)
-    for name, fn in registry.QUERIES.items():
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        queries[name] = round(time.time() - t0, 3)
+
+    reg_passes = 0
+    for i in range(reps):
+        st0, tot0 = _read_steal()
+        for name, fn in registry.QUERIES.items():
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            dt = round(time.time() - t0, 3)
+            queries[name] = min(queries.get(name, dt), dt)
+        st1, tot1 = _read_steal()
+        steal[f"registry_pass{i}"] = round(
+            100.0 * (st1 - st0) / max(1, tot1 - tot0), 1
+        )
+        reg_passes += 1
+        if time.time() - bench_t0 > budget * 0.75:
+            break
     spark.stop()
 
     total = round(sum(queries.values()), 2)
@@ -255,6 +299,17 @@ def main():
                 "turns_per_sec": m["turns_per_sec"],
                 "n_turns": m["n_turns"],
                 "cpus": CPUS,
+                "host_steal_pct": steal,
+                "build_reps": [
+                    {
+                        "build_sec": b["build_sec"],
+                        "turns_per_sec": b["turns_per_sec"],
+                        "steal_pct": b["host_steal_pct_during_build"],
+                    }
+                    for b in builds
+                ],
+                "registry_passes": reg_passes,
+                "bench_wall_sec": round(time.time() - bench_t0, 1),
             }
         )
     )

@@ -724,11 +724,14 @@ def connected_components(
     min + a left join back — all shuffles on node ids (uniform).
     Rounds needed = graph diameter; near-dup clusters are
     shallow-diameter by construction (dense similarity cliques), so
-    convergence is a handful of rounds — for adversarially chain-
-    shaped graphs swap in the large-star/small-star contraction
-    (same per-round primitives, O(log n) rounds). Labels are
-    localCheckpoint-ed per round (lineage would otherwise double every
-    iteration); convergence is detected by a changed-row count."""
+    convergence is a handful of rounds. When the diameter budget runs
+    out (adversarially chain-shaped dup graphs — crawl mirrors), the
+    computation FALLS BACK to the large-star/small-star contraction
+    below (connected_components_star — same per-round primitives,
+    O(log²n) proven / ~O(log n) observed rounds) instead of raising.
+    Labels are localCheckpoint-ed per round (lineage would otherwise
+    double every iteration); convergence is detected by a changed-row
+    count."""
     lab = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lab")
     ).localCheckpoint()
@@ -772,11 +775,120 @@ def connected_components(
             return lab.select(
                 F.col("node").alias(id_col), F.col("lab").alias("cluster_rep")
             )
+    # diameter budget exhausted (a chain-shaped component needs
+    # diameter rounds) — auto-fall back to star contraction, which
+    # converges in logarithmic rounds regardless of diameter. Never
+    # returns a partial labeling.
+    return connected_components_star(ids, pairs, id_col)
+
+
+def connected_components_star(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 60,
+) -> DataFrame:
+    """(id, cluster_rep) by ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the chain-graph-safe twin of the
+    min-label propagation above: converges in O(log² n) rounds
+    (proven; ~log n observed) instead of graph-diameter rounds,
+    because each round rewires every node toward its neighborhood
+    minimum, halving path lengths like pointer jumping.
+
+      large-star: per node u with m = min(Γ(u) ∪ {u}), replace every
+                  edge to a LARGER neighbor v > u with (v, m);
+      small-star: per node u with smaller-neighbor set N (all v < u)
+                  and m = min(N), rewire u and all of N onto m.
+
+    Both phases preserve connected components (each rewired edge stays
+    inside u's component, endpoints remain reachable), and the unique
+    fixpoint is a union of stars centered on each component's minimum
+    id — so the final labeling (node → its min neighbor, self if
+    isolated) equals min-label's answer exactly (pinned by test).
+
+    Scale shape: each phase is one groupBy(node) min + one join on
+    node ids — the same uniform-key shuffles as min-label, edge-set
+    sized. Convergence = edge-set fixpoint, detected by a cheap
+    (count, hash-sum) checksum and CONFIRMED by an exact two-sided
+    exceptAll only at the candidate round (checksum collisions cannot
+    cause a wrong early stop). Edges are localCheckpoint-ed per round
+    (iterative lineage), orphaned blocks GC'd like min-label."""
+    import gc
+
+    def _clean(e: DataFrame) -> DataFrame:
+        return (
+            e.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+        )
+
+    e = _clean(
+        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    ).localCheckpoint()
+
+    def _checksum(edges: DataFrame):
+        # pmod bounds each term < 2^31 so the int64 sum cannot overflow
+        # under ANSI mode below ~2^32 edges (this is a cheap-reject
+        # filter only; equality is CONFIRMED exactly before stopping)
+        r = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 31))).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    chk = _checksum(e)
+    for _ in range(max_iter):
+        # -- large-star ---------------------------------------------------
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        ls = (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = _clean(ls).localCheckpoint()
+        # -- small-star ---------------------------------------------------
+        dirr = e1.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        m2 = dirr.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            dirr.join(m2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(m2.select(F.col("a"), F.col("m").alias("b")))
+        )
+        e_new = _clean(ss).localCheckpoint()
+        new_chk = _checksum(e_new)
+        converged = False
+        if new_chk == chk:
+            # candidate fixpoint — confirm exactly (distinct sets, so
+            # two one-sided anti-join emptiness checks suffice)
+            converged = (
+                e_new.exceptAll(e).limit(1).count() == 0
+                and e.exceptAll(e_new).limit(1).count() == 0
+            )
+        e, chk = e_new, new_chk
+        gc.collect()
+        if converged:
+            mins = e.groupBy("a").agg(F.min("b").alias("mn"))
+            lab = ids.select(F.col(id_col).alias("node")).join(
+                mins, F.col("node") == mins["a"], "left"
+            )
+            return lab.select(
+                F.col("node").alias(id_col),
+                F.least(F.col("node"), F.coalesce(F.col("mn"), F.col("node"))).alias(
+                    "cluster_rep"
+                ),
+            )
     raise ValueError(
-        f"connected_components did not converge within max_iter={max_iter} "
-        "rounds (component diameter exceeds the budget) — raise max_iter, "
-        "or use a star-contraction variant for chain-shaped graphs; "
-        "returning a partial labeling would silently keep duplicates"
+        f"connected_components_star did not converge within max_iter="
+        f"{max_iter} rounds — pathological; returning a partial labeling "
+        "would silently keep duplicates"
     )
 
 

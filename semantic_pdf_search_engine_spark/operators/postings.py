@@ -304,7 +304,11 @@ def phrase_occurrences(
     over full text at query time once postings are materialized."""
     from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
 
-    seq = tokenize_py(phrase)
+    # normalize=False mirrors tokens_expr, which builds the doc-side
+    # positions WITHOUT ligature/artifact normalization (and matches the
+    # DuckDB oracle's doc-side tokenization): a phrase containing 'ﬁle'
+    # must look for the same un-normalized token the postings store
+    seq = tokenize_py(phrase, normalize=False)
     if not seq:
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} long, n_occ int, first_pos int"
@@ -428,7 +432,9 @@ def phrase_occurrences_indexed(
         term_bucket_of,
     )
 
-    seq = tokenize_py(phrase)
+    # normalize=False: same tokens_expr-mirroring contract as
+    # phrase_occurrences (the index stores un-normalized tokens)
+    seq = tokenize_py(phrase, normalize=False)
     if not seq:
         return spark.createDataFrame([], f"{id_col} long, n_occ int, first_pos int")
     distinct_terms = sorted(set(seq))

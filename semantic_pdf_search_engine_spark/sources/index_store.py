@@ -128,7 +128,18 @@ _SNAPSHOT_BASES = ("postings", "docfreq", "docs", "tf")
 # retained snapshots, so a streaming pipeline appending forever keeps
 # bounded storage without an explicit maintenance call (Iceberg leaves
 # expiry to maintenance jobs; an unattended default is safer here —
-# raise it or call expire_snapshots yourself for longer history)
+# raise it or call expire_snapshots yourself for longer history).
+#
+# CONCURRENCY CONTRACT: this store is SINGLE-WRITER and auto-expiry
+# assumes NO OPEN READERS on expiring snapshots — a write (append/
+# compact) that pushes history past the bound deletes version dirs
+# that a still-live load_index(snapshot_id=...) handle may reference.
+# The deletion guards protect RETAINED snapshots only; they cannot see
+# driver-side handles. If readers hold snapshots across writes, set
+# SNAPSHOT_KEEP_DEFAULT above your reader horizon or disable auto-
+# expiry (raise it) and run expire_snapshots as an explicit maintenance
+# call once readers are known to be closed — exactly Iceberg's
+# operational model.
 SNAPSHOT_KEEP_DEFAULT = 5
 
 
@@ -221,12 +232,19 @@ def docs_added_between(
     if old_files <= new_files:
         added = sorted(new_files - old_files)
         if not added:
-            base = spark.read.parquet(*sorted(new_files)) if new_files else None
-            return (
-                base.limit(0)
-                if base is not None
-                else spark.createDataFrame([], "doc_id long")
-            )
+            # empty diff: return an empty frame with the REAL docs
+            # schema (downstream column access like `text` must work on
+            # the no-new-rows edge too) — from the snapshot's files if
+            # it has any, else from the current docs table
+            if new_files:
+                return spark.read.parquet(*sorted(new_files)).limit(0)
+            cur = Path(index_dir) / m.data["params"].get("docs_rel", "docs")
+            cur_files = parquet_files(cur)
+            if cur_files:
+                return spark.read.parquet(*cur_files).limit(0)
+            # no docs files exist anywhere — the table was never built;
+            # any schema is arbitrary, keep the minimal one
+            return spark.createDataFrame([], "doc_id long")
         return spark.read.parquet(*added)
     # a rewrite (compaction) replaced files between the snapshots —
     # fall back to a doc_id anti-join, exact but two-sided
