@@ -896,14 +896,24 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    method: str = "minlabel",
 ) -> DataFrame:
     """(doc_id, cluster_rep, keep): the dedup DECISION step downstream
     of any pair generator (minhash / simhash / jaccard / tf-cosine /
     embedding LSH): transitively close the pair graph into clusters and
     keep exactly one canonical doc per cluster (the minimum id — the
     usual keep-first policy; swap the representative choice by mapping
-    labels afterwards). keep is int (1/0) for oracle-stable typing."""
-    cc = connected_components(docs.select(id_col), pairs, id_col)
+    labels afterwards). keep is int (1/0) for oracle-stable typing.
+
+    method: "minlabel" (diameter-round propagation with automatic
+    star-contraction fallback — the default) or "star" (go straight to
+    large-star/small-star contraction, O(log n) rounds regardless of
+    graph shape — the right pick when the dup graph is expected
+    chain-like, e.g. crawl mirror chains)."""
+    if method == "star":
+        cc = connected_components_star(docs.select(id_col), pairs, id_col)
+    else:
+        cc = connected_components(docs.select(id_col), pairs, id_col)
     return cc.select(
         id_col,
         "cluster_rep",

@@ -312,6 +312,23 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision step computed by LARGE-STAR/SMALL-STAR
+    contraction (dedup.connected_components_star — the O(log n)-round
+    chain-graph-safe path, new in r4) instead of min-label propagation.
+    Same hard oracle as dedup_clusters (the DuckDB recursive transitive
+    closure): a driver-green row proves the star fixpoint equals the
+    declarative closure on real fixture data, not just the pytest
+    graphs."""
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_neardup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _PAIR_BOUND)
+    return dedup_clusters(docs, simhash_neardup_pairs(docs), method="star")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION step (dedup.dedup_clusters): simhash near-dup
     pairs (the exact hamming ≤ 3 generator) transitively closed into
@@ -1327,15 +1344,19 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ORDERING CONTRACT (see ROTATION.md): the driver's CORRECTNESS gate
 # checks only the FIRST 50 entries of this dict, so order is coverage
-# policy, not style. Round 4 front-loads (a) the 12 operators that had
-# never received a driver-green row (appended past position 50 in r3)
-# and (b) the hard-oracle stable set; the 12 entries rotated out to
-# positions 51-62 are the 8 rows-only (no-oracle-by-design) entries
-# plus 4 hard-oracle entries green in BOTH r2 and r3
-# (multimodal_meta, frame_sample, resize_plan, exact_spans) — they
-# rotate back into the window in round 5 per ROTATION.md.
+# policy, not style. Round 4 front-loads (a) the NEW r4 query
+# (dedup_clusters_star, position 1 per invariant #1), (b) the 12
+# operators that had never received a driver-green row (appended past
+# position 50 in r3), and (c) the hard-oracle stable set; the 13
+# entries rotated out to positions 51-63 are the 8 rows-only
+# (no-oracle-by-design) entries plus 4 hard-oracle entries green in
+# BOTH r2 and r3 (multimodal_meta, frame_sample, resize_plan,
+# exact_spans) plus pmi_pairs (green r3, displaced by the new front
+# entry) — they rotate back into the window in round 5 per ROTATION.md.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-checked before r4 (window positions 1-12) --------
+    # -- new in r4 (front per ROTATION.md invariant #1) -----------------
+    "dedup_clusters_star": q_dedup_clusters_star,
+    # -- never driver-checked before r4 (window positions 2-13) --------
     "keyness": q_keyness,
     "tfidf_top_terms": q_tfidf_top_terms,
     "shard_plan": q_shard_plan,
@@ -2316,3 +2337,7 @@ SELECT node AS doc_id,
        CAST(CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS INT) AS keep
 FROM reach GROUP BY node
 """
+
+# star contraction must reach the identical fixpoint as min-label —
+# same declarative transitive-closure oracle
+ORACLE_SQL["dedup_clusters_star"] = ORACLE_SQL["dedup_clusters"]

@@ -641,6 +641,12 @@ def test_dedup_clusters_transitive_chain(spark):
         8: (7, 0),
         9: (9, 1),
     }
+    # method="star" must produce the identical decision
+    star = {
+        r["doc_id"]: (r["cluster_rep"], r["keep"])
+        for r in dedup_clusters(docs, pairs, method="star").collect()
+    }
+    assert star == got
 
 
 def test_connected_components_long_chain_converges(spark):
