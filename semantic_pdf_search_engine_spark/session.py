@@ -20,12 +20,21 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # Under spark-submit the driver python is launched by PythonRunner
+    # with PYSPARK_GATEWAY_PORT set and spark.master already in the JVM
+    # conf (--master / spark-defaults). Clobbering it here would turn a
+    # cluster submission into local mode — only default the master when
+    # we own the JVM (plain `python` invocation) and the caller didn't
+    # pass one.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
+        master = f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
