@@ -821,9 +821,12 @@ def connected_components_star(
             e.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
         )
 
-    e = _clean(
-        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
-    ).localCheckpoint()
+    # ids keep their NATIVE type (any orderable column — long doc ids,
+    # string hashes): a cast here would null non-numeric ids and
+    # silently label every doc a singleton (all duplicates retained) —
+    # min-label is type-generic and this path must be too, since
+    # connected_components auto-falls back into it
+    e = _clean(pairs.select("a", "b")).localCheckpoint()
 
     def _checksum(edges: DataFrame):
         # pmod bounds each term < 2^31 so the int64 sum cannot overflow

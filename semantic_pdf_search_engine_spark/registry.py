@@ -354,12 +354,17 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
     pyarrow (row-group statistics prune the scan to the group holding
     `vec_id`) — replaces the 1-row Spark job each ann_* registry entry
     used to run (a scheduler round-trip per query at serving time;
-    VERDICT r3 'what's wrong' #5). Cached per (sf_dir, vec_id)."""
-    key = f"{sf_dir}:{vec_id}"
+    VERDICT r3 'what's wrong' #5). Cached per (sf_dir, vec_id, cheap
+    source signature): a mid-session regeneration of the embeddings
+    table invalidates this cache the same way it invalidates the store
+    handles — the serving path never scores against a vector that no
+    longer exists in the data."""
+    path = f"{sf_dir}/embeddings.parquet"
+    key = f"{path}:{vec_id}:{_parquet_signature_cheap(path)}"
     if key not in _QVEC_CACHE:
         import pyarrow.dataset as ds
 
-        tbl = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        tbl = ds.dataset(path).to_table(
             filter=ds.field("vec_id") == vec_id, columns=["embedding"]
         )
         _QVEC_CACHE[key] = [float(x) for x in tbl.column("embedding")[0].as_py()]
@@ -426,19 +431,27 @@ def _parquet_signature_cheap(path: str) -> str:
     return h.hexdigest()
 
 
-def _write_store_sig(sig_path: str, tag: str, data_path: str) -> None:
+def _write_store_sig(
+    sig_path: str,
+    tag: str,
+    data_path: str,
+    cheap: str | None = None,
+    full: str | None = None,
+) -> None:
     """Persist BOTH signature levels at store-build time, atomically
     (temp file + os.replace — two processes interleaving the store
     write and the sig write can no longer publish a half-written
     record; the LAST completed build wins the pointer). The footer walk
-    happens here, once per build — never again on a cache hit."""
+    happens here, once per build — never again on a cache hit. Callers
+    that already computed a level pass it in (the demoted-validation
+    refresh would otherwise re-walk the footers it just walked)."""
     import json as _json
 
     payload = _json.dumps(
         {
             "tag": tag,
-            "cheap": _parquet_signature_cheap(data_path),
-            "full": _parquet_signature(data_path),
+            "cheap": cheap if cheap is not None else _parquet_signature_cheap(data_path),
+            "full": full if full is not None else _parquet_signature(data_path),
         }
     )
     tmp = f"{sig_path}.tmp.{os.getpid()}"
@@ -463,11 +476,14 @@ def _store_sig_valid(sig_path: str, tag: str, data_path: str) -> bool:
         return False
     if not isinstance(rec, dict) or rec.get("tag") != tag:
         return False
-    if rec.get("cheap") == _parquet_signature_cheap(data_path):
+    cheap_now = _parquet_signature_cheap(data_path)
+    if rec.get("cheap") == cheap_now:
         return True
-    if rec.get("full") == _parquet_signature(data_path):
-        # same bytes, new stat identity (copy / touch): refresh cheap
-        _write_store_sig(sig_path, tag, data_path)
+    full_now = _parquet_signature(data_path)
+    if rec.get("full") == full_now:
+        # same bytes, new stat identity (copy / touch): refresh cheap,
+        # reusing the signatures just computed (no second footer walk)
+        _write_store_sig(sig_path, tag, data_path, cheap=cheap_now, full=full_now)
         return True
     return False
 
@@ -492,7 +508,24 @@ def _cached_handle(spark: SparkSession, kind: str, sf_dir: str, data_path: str):
 def _remember_handle(
     spark: SparkSession, kind: str, sf_dir: str, data_path: str, handle
 ):
-    key = (spark.sparkContext.applicationId, kind, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, kind, sf_dir)
+    # a replaced handle releases its prepare()'d executor storage —
+    # without this, every mid-session source regeneration leaks a
+    # resident postings+docfreq copy until OOM/eviction thrash
+    old = _STORE_HANDLES.get(key)
+    if old is not None and old[1] is not handle:
+        unp = getattr(old[1], "unpersist", None)
+        if callable(unp):
+            try:
+                unp()
+            except Exception:
+                pass
+    # prune entries from dead SparkSessions (stale applicationIds):
+    # their JVMs are gone, the handles are unusable, and the dict
+    # would otherwise grow for the process lifetime
+    for k in [k for k in _STORE_HANDLES if k[0] != app]:
+        _STORE_HANDLES.pop(k, None)
     _STORE_HANDLES[key] = (_parquet_signature_cheap(data_path), handle)
     return handle
 
@@ -1345,18 +1378,22 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ORDERING CONTRACT (see ROTATION.md): the driver's CORRECTNESS gate
 # checks only the FIRST 50 entries of this dict, so order is coverage
 # policy, not style. Round 4 front-loads (a) the NEW r4 query
-# (dedup_clusters_star, position 1 per invariant #1), (b) the 12
+# (dedup_clusters_star, position 1 per invariant #1), (b) fuzzy_spans,
+# whose serving implementation CHANGED this round (invariant #4 —
+# changed code gets a driver row in the round it changes), (c) the 12
 # operators that had never received a driver-green row (appended past
-# position 50 in r3), and (c) the hard-oracle stable set; the 13
-# entries rotated out to positions 51-63 are the 8 rows-only
-# (no-oracle-by-design) entries plus 4 hard-oracle entries green in
-# BOTH r2 and r3 (multimodal_meta, frame_sample, resize_plan,
-# exact_spans) plus pmi_pairs (green r3, displaced by the new front
-# entry) — they rotate back into the window in round 5 per ROTATION.md.
+# position 50 in r3), and (d) the hard-oracle stable set (positions
+# 15-50). The 13 entries rotated out to positions 51-63 are 7
+# rows-only (no-oracle-by-design) entries plus 6 hard-oracle entries
+# each green in the immediately preceding round (multimodal_meta,
+# frame_sample, resize_plan, exact_spans, pmi_pairs, token_stats) —
+# they rotate back into the window in round 5 per ROTATION.md.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     "dedup_clusters_star": q_dedup_clusters_star,
-    # -- never driver-checked before r4 (window positions 2-13) --------
+    # -- serving implementation changed in r4 (invariant #4) ------------
+    "fuzzy_spans": q_fuzzy_spans,
+    # -- never driver-checked before r4 (window positions 3-14) --------
     "keyness": q_keyness,
     "tfidf_top_terms": q_tfidf_top_terms,
     "shard_plan": q_shard_plan,
@@ -1369,8 +1406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "distinct_kmv": q_distinct_kmv,
     "events_percentiles": q_events_percentiles,
-    # -- hard-oracle stable set (window positions 13-50) ---------------
-    "token_stats": q_token_stats,
+    # -- hard-oracle stable set (window positions 15-50) ---------------
     "rolling_fingerprint": q_rolling_fingerprint,
     "tokenize_tf": q_tokenize_tf,
     "doc_length": q_doc_length,
@@ -1408,12 +1444,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_build": q_vocab_build,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "pmi_pairs": q_pmi_pairs,
-    # -- rotated out of the r4 window (positions 51-62; back in r5) ----
+    # -- rotated out of the r4 window (positions 51-63; back in r5) ----
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "resize_plan": q_resize_plan,
     "exact_spans": q_exact_spans,
-    "fuzzy_spans": q_fuzzy_spans,
+    "token_stats": q_token_stats,
     "smart_chunks": q_smart_chunks,
     "minhash_lsh_prod": q_minhash_lsh_prod,
     "knn_join_ann": q_knn_join_ann,

@@ -360,6 +360,22 @@ class InvertedIndex:
         self._docfreq_cached.count()
         return self
 
+    def unpersist(self) -> "InvertedIndex":
+        """Release prepare()'s pinned executor storage. Call when a
+        serving session replaces this handle (source data regenerated,
+        handle cache invalidated) — otherwise each replaced handle
+        leaks a resident postings+docfreq copy for the session's
+        lifetime."""
+        for cached in (self._postings_cached, self._docfreq_cached):
+            if cached is not None:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass  # session already stopped — nothing to release
+        self._postings_cached = None
+        self._docfreq_cached = None
+        return self
+
     @property
     def docs(self) -> DataFrame:
         if self.docs_files is not None:

@@ -741,3 +741,34 @@ def test_connected_components_star_equals_minlabel(spark):
     }
     assert a == b
     assert b[13] == 0 and b[23] == 20 and b[30] == 30 and b[31] == 31
+
+
+def test_connected_components_star_string_ids(spark):
+    """Star contraction must stay type-generic like min-label: string
+    ids (content-hash fingerprints are a normal id choice for dedup)
+    must cluster correctly — the former cast-to-long would null every
+    edge and silently label all docs singletons (keeping every
+    duplicate)."""
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    ids = spark.createDataFrame(
+        [("ha",), ("hb",), ("hc",), ("hz",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("ha", "hb"), ("hb", "hc")], "a string, b string"
+    )
+    want = {"ha": "ha", "hb": "ha", "hc": "ha", "hz": "hz"}
+    got_star = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in connected_components_star(ids, pairs).collect()
+    }
+    assert got_star == want
+    # the auto-fallback path (min-label budget exhausted) inherits it
+    got_fb = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in connected_components(ids, pairs, max_iter=1).collect()
+    }
+    assert got_fb == want

@@ -79,7 +79,9 @@ def test_query_vec_driver_side_matches_spark(spark, sf_dir):
     )
     assert got == pytest.approx(list(want))
     # cached: second call returns the identical object, no re-read
-    assert registry._query_vec(sf_dir, vec_id=0) is registry._QVEC_CACHE[f"{sf_dir}:0"]
+    # (the key embeds the cheap source signature, so a regenerated
+    # embeddings table gets a fresh vector)
+    assert registry._query_vec(sf_dir, vec_id=0) is got
 
 
 def test_store_sig_legacy_format_reads_as_miss(tmp_path, sf_dir):

@@ -42,6 +42,8 @@ def _run_submit(tmp: Path, z: Path, runner: Path, *args: str) -> list[dict]:
             "local[2]",
             "--conf",
             "spark.ui.enabled=false",
+            "--conf",
+            "spark.sql.shuffle.partitions=7",
             "--py-files",
             str(z),
             str(runner),
@@ -88,9 +90,14 @@ def test_spark_submit_py_files_build_and_query(tmp_path, spark):
         "rc = main(sys.argv[1:])\n"
         # the session must have inherited spark-submit's --master, not
         # the factory's local[$SPARK_GRAFT_CPUS] default
-        "m = SparkSession.getActiveSession().conf.get('spark.master')\n"
+        "s = SparkSession.getActiveSession()\n"
+        "m = s.conf.get('spark.master')\n"
         "print('MASTER=' + m)\n"
         "assert m == 'local[2]', m\n"
+        # operator --conf must beat the factory's tuning DEFAULTS
+        "sp = s.conf.get('spark.sql.shuffle.partitions')\n"
+        "print('SHUFFLE=' + sp)\n"
+        "assert sp == '7', sp\n"
         "sys.exit(rc)\n"
     )
 
