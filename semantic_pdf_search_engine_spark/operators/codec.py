@@ -1,13 +1,24 @@
-"""Delta + varbyte posting compression, fully vectorized numpy.
+"""Delta + varbyte / FOR posting compression, fully vectorized numpy.
 
 Posting blocks store three parallel uint arrays — doc-id gaps, term
-frequencies, doc lengths — as VByte-compressed BinaryType columns
-(7 data bits per byte, MSB = continuation, little-endian groups).
+frequencies, doc lengths — as compressed BinaryType columns under one
+of two codecs, recorded in the index manifest and dispatched at decode:
 
-Runs inside applyInPandas (Arrow batches); no per-row Python. Both
-encode and decode are loop-free over the value count (encode loops
-over byte-width ≤ 10, decode is one shift-add scatter), so a 4096-entry
-block costs microseconds, not milliseconds.
+- ``vbyte``  — VByte (7 data bits per byte, MSB = continuation,
+  little-endian groups). Byte-granular, good for skewed gap
+  distributions with occasional large values.
+- ``for``    — frame-of-reference bit packing: per block, subtract the
+  frame minimum and pack every delta at the block's fixed bit width
+  (MSB-first), after a 13-byte header ``[width u8][n u32 LE]
+  [min u64 LE]``. Fixed width makes decode a single unpackbits +
+  shift-accumulate — no per-value branching — and compresses dense
+  low-gap blocks below VByte's 1-byte-per-value floor.
+
+Runs inside applyInPandas (Arrow batches); no per-row Python. Encode
+and decode are loop-free over the value count (loops run over
+byte-width ≤ 10 / bit-width ≤ 64, each iteration vectorized over the
+whole Arrow batch), so a 4096-entry block costs microseconds, not
+milliseconds.
 """
 
 from __future__ import annotations
@@ -80,15 +91,160 @@ def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
     return (np.cumsum(gaps.astype(np.int64)) + base).astype(np.int64)
 
 
-def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, base: int):
+# ---------------------------------------------------------------------------
+# frame-of-reference bit packing
+# ---------------------------------------------------------------------------
+
+_FOR_HEADER = 13  # [width u8][n u32 LE][min u64 LE]
+
+
+def _bit_widths(maxima: np.ndarray) -> np.ndarray:
+    """Bits needed to represent each value in `maxima` (min width 1).
+    Integer-exact (no log2 float path — wrong above 2**53)."""
+    m = np.ascontiguousarray(maxima, dtype=np.uint64)
+    w = np.ones(m.size, dtype=np.int64)
+    for s in range(1, 64):
+        w += (m >= np.uint64(1) << np.uint64(s)).astype(np.int64)
+    return w
+
+
+def for_encode_groups(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """FOR-encode each [starts[i], ends[i]) slice of `values` as an
+    independent block; returns (flat buffer, per-group byte counts) so
+    the batch encoder can compress a whole Arrow batch in one call and
+    slice per block — same contract as the vbyte group encoder."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    ngroups = starts.size
+    if ngroups == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    counts = ends - starts
+    seg = np.repeat(np.arange(ngroups), counts)
+    gmin = np.zeros(ngroups, dtype=np.uint64)
+    dmax = np.zeros(ngroups, dtype=np.uint64)
+    nz = counts > 0
+    if v.size:
+        gmin[nz] = np.minimum.reduceat(v, starts[nz])
+        deltas = v - gmin[seg]
+        dmax[nz] = np.maximum.reduceat(deltas, starts[nz])
+    else:
+        deltas = v
+    widths = _bit_widths(dmax)
+
+    group_bytes = _FOR_HEADER + ((counts * widths + 7) >> 3)
+    byte_off = np.zeros(ngroups, dtype=np.int64)
+    byte_off[1:] = np.cumsum(group_bytes)[:-1]
+    out = np.zeros(int(group_bytes.sum()), dtype=np.uint8)
+
+    # headers, vectorized across groups
+    out[byte_off] = widths.astype(np.uint8)
+    for i in range(4):
+        out[byte_off + 1 + i] = ((counts >> (8 * i)) & 0xFF).astype(np.uint8)
+    for i in range(8):
+        out[byte_off + 5 + i] = (
+            (gmin >> np.uint64(8 * i)) & np.uint64(0xFF)
+        ).astype(np.uint8)
+
+    if v.size:
+        # absolute bit position of each value's MSB (blocks byte-aligned)
+        within = np.arange(v.size, dtype=np.int64) - starts[seg]
+        w_per_val = widths[seg]
+        bit_start = (byte_off[seg] + _FOR_HEADER) * 8 + within * w_per_val
+        # loop over bit index j (≤ 64, vectorized over the whole batch):
+        # bit j of a value is (delta >> (w-1-j)) & 1, MSB-first
+        for j in range(int(widths.max())):
+            active = w_per_val > j
+            if not active.any():
+                break
+            sh = (w_per_val[active] - 1 - j).astype(np.uint64)
+            bit = ((deltas[active] >> sh) & np.uint64(1)).astype(np.uint8)
+            pos = bit_start[active] + j
+            np.bitwise_or.at(out, pos >> 3, bit << (7 - (pos & 7)).astype(np.uint8))
+    return out.tobytes(), group_bytes
+
+
+def for_encode(arr: np.ndarray) -> bytes:
+    """FOR-encode a single 1-D array of unsigned ints as one block."""
+    a = np.ascontiguousarray(arr, dtype=np.uint64)
+    buf, _ = for_encode_groups(
+        a, np.zeros(1, dtype=np.int64), np.asarray([a.size], dtype=np.int64)
+    )
+    return buf
+
+
+def for_decode(buf: bytes) -> np.ndarray:
+    """Decode one FOR block back to uint64 values."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    w = int(b[0])
+    n = int.from_bytes(bytes(b[1:5]), "little")
+    mn = np.uint64(int.from_bytes(bytes(b[5:13]), "little"))
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    bits = np.unpackbits(b[_FOR_HEADER:], count=n * w).reshape(n, w)
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(w):  # MSB-first shift-accumulate, vectorized over n
+        vals = (vals << np.uint64(1)) | bits[:, j].astype(np.uint64)
+    return vals + mn
+
+
+def vb_encode_groups(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """VByte group encoder under the same (flat buffer, per-group byte
+    counts) contract as `for_encode_groups` — one whole-batch encode,
+    per-group byte counts derived from the per-value counts."""
+    buf, nbytes = vb_encode_counts(values)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    if starts.size == 0:
+        return buf, np.zeros(0, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(nbytes)])
+    return buf, cum[ends] - cum[starts]
+
+
+#: codec name → (group encoder, single-array decoder)
+CODECS = {
+    "vbyte": (vb_encode_groups, vb_decode),
+    "for": (for_encode_groups, for_decode),
+}
+DEFAULT_CODEC = "vbyte"
+
+
+def _single_encode(arr: np.ndarray, codec_name: str) -> bytes:
+    enc, _ = CODECS[codec_name]
+    a = np.ascontiguousarray(arr, dtype=np.uint64)
+    return enc(
+        a, np.zeros(1, dtype=np.int64), np.asarray([a.size], dtype=np.int64)
+    )[0]
+
+
+def encode_block(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    base: int,
+    codec_name: str = DEFAULT_CODEC,
+):
     """(sorted doc_ids, tfs, dls) → (gaps_bin, tfs_bin, dls_bin)."""
     return (
-        vb_encode(delta_encode(doc_ids, base)),
-        vb_encode(tfs),
-        vb_encode(dls),
+        _single_encode(delta_encode(doc_ids, base), codec_name),
+        _single_encode(np.ascontiguousarray(tfs, dtype=np.uint64), codec_name),
+        _single_encode(np.ascontiguousarray(dls, dtype=np.uint64), codec_name),
     )
 
 
-def decode_block(gaps_bin: bytes, tfs_bin: bytes, dls_bin: bytes, base: int):
-    docs = delta_decode(vb_decode(gaps_bin), base)
-    return docs, vb_decode(tfs_bin).astype(np.int64), vb_decode(dls_bin).astype(np.int64)
+def decode_block(
+    gaps_bin: bytes,
+    tfs_bin: bytes,
+    dls_bin: bytes,
+    base: int,
+    codec_name: str = DEFAULT_CODEC,
+):
+    _, dec = CODECS[codec_name]
+    docs = delta_decode(dec(gaps_bin), base)
+    return docs, dec(tfs_bin).astype(np.int64), dec(dls_bin).astype(np.int64)

@@ -129,13 +129,21 @@ def build_posting_blocks(
     avgdl: float,
     stripe_docs: int = STRIPE_DOCS,
     num_partitions: int | None = None,
+    codec_name: str = codec.DEFAULT_CODEC,
 ) -> DataFrame:
     """tf (doc_id, term, tf, dl) ⋈ (term, idf) → compressed posting blocks.
 
     One shuffle: repartition on (term, stripe_id), then per-group
     numpy encode inside applyInPandas. idf arrives precomputed so the
     block-max bounds are bit-identical to the scoring path's idf.
+    `codec_name` selects the block compression ('vbyte' | 'for'); the
+    caller records it in the index manifest so decode dispatches the
+    same codec.
     """
+    if codec_name not in codec.CODECS:
+        raise ValueError(
+            f"unknown postings codec {codec_name!r} (have {sorted(codec.CODECS)})"
+        )
     spark = tf.sparkSession
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -146,6 +154,7 @@ def build_posting_blocks(
     )
 
     k1, b = K1, B
+    group_encode = codec.CODECS[codec_name][0]  # module-level fn, pickles by ref
 
     # mapInPandas over repartition+sortWithinPartitions, NOT
     # groupBy().applyInPandas(): with |vocab|×|stripes| groups the
@@ -198,12 +207,15 @@ def build_posting_blocks(
             _, first_pos = np.unique(grp_of, return_index=True)
             first_idx = idx_all[first_pos]
 
-            g_buf, g_nb = codec.vb_encode_counts(gaps)
-            t_buf, t_nb = codec.vb_encode_counts(tfs.astype(np.uint64))
-            d_buf, d_nb = codec.vb_encode_counts(dls.astype(np.uint64))
-            g_off = np.concatenate([[0], np.cumsum(g_nb)])
-            t_off = np.concatenate([[0], np.cumsum(t_nb)])
-            d_off = np.concatenate([[0], np.cumsum(d_nb)])
+            # group encoder: whole-batch compress, slice per block —
+            # both codecs share the (flat buffer, per-group byte
+            # counts) contract, so the split below is codec-agnostic
+            g_buf, g_gb = group_encode(gaps, starts, ends)
+            t_buf, t_gb = group_encode(tfs.astype(np.uint64), starts, ends)
+            d_buf, d_gb = group_encode(dls.astype(np.uint64), starts, ends)
+            g_off = np.concatenate([[0], np.cumsum(g_gb)])
+            t_off = np.concatenate([[0], np.cumsum(t_gb)])
+            d_off = np.concatenate([[0], np.cumsum(d_gb)])
 
             o = pd.DataFrame(
                 {
@@ -212,9 +224,15 @@ def build_posting_blocks(
                     "n_postings": (ends - starts).astype("int32"),
                     "min_doc": docs[starts].astype("int64"),
                     "max_doc": docs[ends - 1].astype("int64"),
-                    "gaps": [g_buf[g_off[s] : g_off[e]] for s, e in zip(starts, ends)],
-                    "tfs": [t_buf[t_off[s] : t_off[e]] for s, e in zip(starts, ends)],
-                    "dls": [d_buf[d_off[s] : d_off[e]] for s, e in zip(starts, ends)],
+                    "gaps": [
+                        g_buf[g_off[i] : g_off[i + 1]] for i in range(starts.size)
+                    ],
+                    "tfs": [
+                        t_buf[t_off[i] : t_off[i + 1]] for i in range(starts.size)
+                    ],
+                    "dls": [
+                        d_buf[d_off[i] : d_off[i + 1]] for i in range(starts.size)
+                    ],
                     "max_tf": np.maximum.reduceat(tfs, starts).astype("int32"),
                     "top_tf": tfs[first_idx].astype("int32"),
                     "top_dl": dls[first_idx].astype("int32"),

@@ -111,6 +111,7 @@ def _daat_stripe_topk(
     k: int,
     scope_ids=None,
     scope_range=None,
+    codec_name: str = "vbyte",
 ):
     """The per-stripe DAAT scoring kernel — ONE definition shared by the
     single-query and batch paths: decode blocks, dense float64
@@ -126,7 +127,7 @@ def _daat_stripe_topk(
     seen = np.zeros(stripe_docs, dtype=bool)
     pdf = pdf.sort_values("term", kind="mergesort")
     for row in pdf.itertuples(index=False):
-        docs, tfs, dls = decode_block(row.gaps, row.tfs, row.dls, base)
+        docs, tfs, dls = decode_block(row.gaps, row.tfs, row.dls, base, codec_name)
         if scope_ids is not None:
             mask = np.isin(docs, scope_ids)  # exact membership
             if not mask.any():
@@ -251,9 +252,12 @@ def score_topk(
     stripe_docs = index.stripe_docs
     avgdl = index.avgdl
 
+    codec_name = index.codec
+
     def score_stripe(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, s = _daat_stripe_topk(
-            pdf, stripe_docs, avgdl, k, scope_ids=scope_ids, scope_range=scope_range
+            pdf, stripe_docs, avgdl, k, scope_ids=scope_ids,
+            scope_range=scope_range, codec_name=codec_name,
         )
         return pd.DataFrame({"doc_id": ids, "score": s})
 
@@ -329,9 +333,11 @@ def score_topk_batch(
         kept = _kept_stripes(meta, k, keys=("query_id",))
         qblocks = qblocks.join(F.broadcast(kept), ["query_id", "stripe_id"])
 
+    codec_name = index.codec
+
     def score_stripe_q(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
-        ids, s = _daat_stripe_topk(pdf, stripe_docs, avgdl, k)
+        ids, s = _daat_stripe_topk(pdf, stripe_docs, avgdl, k, codec_name=codec_name)
         return pd.DataFrame(
             {
                 "query_id": np.full(ids.size, qid, dtype="int32"),

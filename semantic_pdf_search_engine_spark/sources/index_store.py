@@ -305,6 +305,7 @@ class InvertedIndex:
     n_docs: int
     avgdl: float
     stripe_docs: int
+    codec: str = "vbyte"  # block codec recorded at build, dispatched at decode
     postings_rel: str = "postings"
     docfreq_rel: str = "docfreq"
     docs_rel: str = "docs"
@@ -407,6 +408,7 @@ def load_index(
             p["n_docs"],
             p["avgdl"],
             p.get("stripe_docs", STRIPE_DOCS),
+            codec=p.get("codec", "vbyte"),
             postings_rel=p.get("postings_rel", "postings"),
             docfreq_rel=p.get("docfreq_rel", "docfreq"),
             docs_rel=p.get("docs_rel", "docs"),
@@ -446,6 +448,7 @@ def load_index(
         p["n_docs"],
         p["avgdl"],
         p.get("stripe_docs", STRIPE_DOCS),
+        codec=p.get("codec", "vbyte"),
         postings_rel=p.get("postings_rel", "postings"),
         docfreq_rel=p.get("docfreq_rel", "docfreq"),
         docs_rel=p.get("docs_rel", "docs"),
@@ -462,8 +465,15 @@ def build_index(
     stripe_docs: int = STRIPE_DOCS,
     resume: bool = True,
     text_col: str = "text",
+    codec_name: str = "vbyte",
 ) -> InvertedIndex:
     """Full index build: docids → tf → stats/docfreq → posting blocks.
+
+    `codec_name` ('vbyte' | 'for') selects the posting-block codec; it
+    is recorded in the manifest params so every downstream decode —
+    query kernels, compaction, snapshots — dispatches the same codec.
+    On a resumed build whose postings stage already committed, the
+    RECORDED codec wins (the stored blocks are what they are).
 
     Stages commit independently with lineage manifests; `resume=True`
     skips completed stages (checkpoint resume). Resume is for an
@@ -592,8 +602,10 @@ def build_index(
     postings_rel = m.data["params"].get("postings_rel", "postings")
     if not (resume and m.stage_complete("postings")):
         t0 = time.time()
+        m.data["params"]["codec"] = codec_name
         blocks = P.build_posting_blocks(
-            tf, dfreq.select("term", "idf"), avgdl, stripe_docs
+            tf, dfreq.select("term", "idf"), avgdl, stripe_docs,
+            codec_name=codec_name,
         ).withColumn("term_bucket", term_bucket_udf(F.col("term")))
         # repartition on the partition column first: otherwise every
         # shuffle partition writes a sliver into every bucket directory
@@ -626,6 +638,7 @@ def build_index(
         n_docs,
         avgdl,
         stripe_docs,
+        codec=m.data["params"].get("codec", "vbyte"),
         postings_rel=postings_rel,
         docfreq_rel=docfreq_rel,
         docs_rel=docs_rel,
@@ -710,10 +723,13 @@ def append_to_index(
     new_docfreq_rel = _next_version(docfreq_rel, "docfreq")
     merged.write.mode("overwrite").parquet(str(d / new_docfreq_rel))
 
-    # new posting blocks — merged idf only steers the argmax pick
+    # new posting blocks — merged idf only steers the argmax pick;
+    # appended segments MUST use the index's recorded codec (decode
+    # dispatches one codec for the whole postings table)
     dfreq_idf = spark.read.parquet(str(d / new_docfreq_rel)).select("term", "idf")
     blocks = P.build_posting_blocks(
-        tf_new, dfreq_idf, avgdl, stripe_docs
+        tf_new, dfreq_idf, avgdl, stripe_docs,
+        codec_name=params.get("codec", "vbyte"),
     ).withColumn("term_bucket", term_bucket_udf(F.col("term")))
     blocks.repartition(NUM_TERM_BUCKETS, "term_bucket").write.mode(
         "append"
@@ -755,6 +771,7 @@ def append_to_index(
         n_all,
         avgdl,
         stripe_docs,
+        codec=params.get("codec", "vbyte"),
         postings_rel=postings_rel,
         docfreq_rel=new_docfreq_rel,
         docs_rel=docs_rel,
@@ -855,6 +872,7 @@ def compact_index(
     params = m.data["params"]
     stripe_docs = idx.stripe_docs
     avgdl = idx.avgdl
+    codec_name = idx.codec
     k1, b = K1, B
 
     posts = idx.postings.join(
@@ -868,7 +886,9 @@ def compact_index(
             base = stripe * stripe_docs
             docs_l, tfs_l, dls_l = [], [], []
             for r in rows.itertuples(index=False):
-                dd, tt, ll = codec.decode_block(r.gaps, r.tfs, r.dls, base)
+                dd, tt, ll = codec.decode_block(
+                    r.gaps, r.tfs, r.dls, base, codec_name
+                )
                 docs_l.append(dd)
                 tfs_l.append(tt)
                 dls_l.append(ll)
@@ -881,7 +901,8 @@ def compact_index(
             )
             top = int(np.flatnonzero(contrib == contrib.max())[0])
             g, t, l = codec.encode_block(docs, tfs.astype(np.uint64),
-                                         dls.astype(np.uint64), base)
+                                         dls.astype(np.uint64), base,
+                                         codec_name)
             return {
                 "term": rows["term"].iloc[0],
                 "stripe_id": stripe,
