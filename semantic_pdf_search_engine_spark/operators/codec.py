@@ -1,8 +1,8 @@
 """Delta + varbyte / FOR posting compression, fully vectorized numpy.
 
 Posting blocks store three parallel uint arrays — doc-id gaps, term
-frequencies, doc lengths — as compressed BinaryType columns under one
-of two codecs, recorded in the index manifest and dispatched at decode:
+frequencies, doc lengths — as compressed BinaryType columns under a
+codec recorded in the index manifest and dispatched at decode:
 
 - ``vbyte``  — VByte (7 data bits per byte, MSB = continuation,
   little-endian groups). Byte-granular, good for skewed gap
@@ -13,6 +13,9 @@ of two codecs, recorded in the index manifest and dispatched at decode:
   [min u64 LE]``. Fixed width makes decode a single unpackbits +
   shift-accumulate — no per-value branching — and compresses dense
   low-gap blocks below VByte's 1-byte-per-value floor.
+- ``auto``   — per-block best-of-both: each block carries a 1-byte tag
+  and stores whichever of the two encodings is smaller (see
+  `auto_encode_groups` for the distribution trade-off).
 
 Runs inside applyInPandas (Arrow batches); no per-row Python. Encode
 and decode are loop-free over the value count (loops run over
@@ -207,10 +210,42 @@ def vb_encode_groups(
     return buf, cum[ends] - cum[starts]
 
 
+def auto_encode_groups(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Per-block adaptive codec: encode every group BOTH ways (encode
+    is a negligible slice of build cost), keep whichever is smaller,
+    and prepend a 1-byte tag (0 = vbyte, 1 = FOR) so decode dispatches
+    per block. Dense hot-term blocks get FOR's sub-byte bit packing;
+    Zipf-tailed gap blocks — where one outlier gap would widen the
+    whole FOR frame — keep VByte. Strictly ≤ min(vbyte, for) + 1 byte
+    per block, so no distribution is pathological."""
+    vb_buf, vb_nb = vb_encode_groups(values, starts, ends)
+    fo_buf, fo_nb = for_encode_groups(values, starts, ends)
+    vb_off = np.concatenate([[0], np.cumsum(vb_nb)])
+    fo_off = np.concatenate([[0], np.cumsum(fo_nb)])
+    use_for = fo_nb < vb_nb
+    parts = [
+        (b"\x01" + fo_buf[fo_off[i] : fo_off[i + 1]])
+        if use_for[i]
+        else (b"\x00" + vb_buf[vb_off[i] : vb_off[i + 1]])
+        for i in range(starts.size)
+    ]
+    return b"".join(parts), np.minimum(vb_nb, fo_nb) + 1
+
+
+def auto_decode(buf: bytes) -> np.ndarray:
+    if len(buf) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    body = buf[1:]
+    return for_decode(body) if buf[:1] == b"\x01" else vb_decode(body)
+
+
 #: codec name → (group encoder, single-array decoder)
 CODECS = {
     "vbyte": (vb_encode_groups, vb_decode),
     "for": (for_encode_groups, for_decode),
+    "auto": (auto_encode_groups, auto_decode),
 }
 DEFAULT_CODEC = "vbyte"
 

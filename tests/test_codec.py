@@ -123,3 +123,45 @@ def test_vb_encode_groups_contract():
     off = np.concatenate([[0], np.cumsum(nbytes)])
     assert np.array_equal(codec.vb_decode(buf[off[0] : off[1]]), flat[:2])
     assert np.array_equal(codec.vb_decode(buf[off[1] : off[2]]), flat[2:])
+
+
+# ---------------------------------------------------------------------------
+# per-block adaptive codec
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_auto_roundtrip_and_minimality(groups):
+    flat = np.array([v for g in groups for v in g], dtype=np.uint64)
+    counts = np.array([len(g) for g in groups], dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    buf, nbytes = codec.auto_encode_groups(flat, starts, ends)
+    vb_buf, vb_nb = codec.vb_encode_groups(flat, starts, ends)
+    fo_buf, fo_nb = codec.for_encode_groups(flat, starts, ends)
+    assert np.array_equal(nbytes, np.minimum(vb_nb, fo_nb) + 1)
+    off = np.concatenate([[0], np.cumsum(nbytes)])
+    for i, g in enumerate(groups):
+        assert np.array_equal(
+            codec.auto_decode(buf[off[i] : off[i + 1]]),
+            np.array(g, dtype=np.uint64),
+        )
+
+
+def test_auto_picks_for_on_dense_vbyte_on_zipf():
+    dense = np.ones(4096, dtype=np.uint64)  # FOR: 1 bit/val
+    rng = np.random.default_rng(7)
+    zipf = rng.zipf(1.3, 4096).astype(np.uint64)  # outlier widens FOR frame
+    for arr, tag in ((dense, b"\x01"), (zipf, b"\x00")):
+        buf, _ = codec.auto_encode_groups(
+            arr, np.zeros(1, dtype=np.int64), np.asarray([arr.size], dtype=np.int64)
+        )
+        assert buf[:1] == tag
+        assert np.array_equal(codec.auto_decode(buf), arr)

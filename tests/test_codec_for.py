@@ -36,15 +36,15 @@ def vb_index(spark, corpus, tmp_path_factory):
     )
 
 
-@pytest.fixture(scope="module")
-def for_index(spark, corpus, tmp_path_factory):
-    d = tmp_path_factory.mktemp("idx_for")
+@pytest.fixture(scope="module", params=["for", "auto"])
+def for_index(spark, corpus, tmp_path_factory, request):
+    d = tmp_path_factory.mktemp(f"idx_{request.param}")
     return build_index(
         spark,
         spark.createDataFrame(corpus),
         str(d),
         stripe_docs=64,
-        codec_name="for",
+        codec_name=request.param,
     )
 
 
@@ -56,9 +56,9 @@ def _topk(index, q):
 
 
 def test_manifest_records_codec(spark, for_index, vb_index):
-    assert for_index.codec == "for"
+    assert for_index.codec in ("for", "auto")
     assert vb_index.codec == "vbyte"
-    assert load_index(spark, for_index.index_dir).codec == "for"
+    assert load_index(spark, for_index.index_dir).codec == for_index.codec
     assert load_index(spark, vb_index.index_dir).codec == "vbyte"
 
 
