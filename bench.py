@@ -4,7 +4,8 @@
 Default mode: at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]:
   1. index build over a deterministic synthetic transcript corpus
-     (size scaled by sf) — reports turns/sec;
+     (size scaled by sf) — reports turns/sec; $SPARK_GRAFT_CODEC
+     ('vbyte' default | 'for' | 'auto') selects the posting codec;
   2. query p50/p95 latency over the reference query set through the
      compressed-index block-max path;
   3. headline relational/BM25/dedup queries on the driver testdata.
@@ -90,7 +91,13 @@ def run_build_and_queries(master_cores: int, workdir: str, n_convs: int, n_queri
     transcripts = spark.read.parquet(input_dir)
     st0, tot0 = _read_steal()
     t0 = time.time()
-    idx = build_index(spark, transcripts, f"{workdir}/index", resume=False)
+    idx = build_index(
+        spark,
+        transcripts,
+        f"{workdir}/index",
+        resume=False,
+        codec_name=os.environ.get("SPARK_GRAFT_CODEC", "vbyte"),
+    )
     build_sec = time.time() - t0
     st1, tot1 = _read_steal()
     steal_pct = round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 1)
