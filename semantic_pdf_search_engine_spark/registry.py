@@ -25,7 +25,7 @@ from semantic_pdf_search_engine_spark.config import (
     SCORE_DECIMALS,
     TOKEN_SPLIT_RE,
 )
-from semantic_pdf_search_engine_spark.operators import bm25
+from semantic_pdf_search_engine_spark.operators import bm25, suggest
 from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
 
 # One fixed flagship query (terms present in the testdata vocabulary).
@@ -109,6 +109,24 @@ def q_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.docfreq_df(bm25.tf_df(_docs(spark, sf_dir)))
+
+
+# Fixed serving constants for the suggest/correct registry queries:
+# "s" prefixes 6 of the corpus's vocabulary terms (scan/slow/small/
+# sort/spark/stream); "grup" corrects to group (dist 1) and dup
+# (dist 2), exercising the distance-then-df rank.
+SUGGEST_PREFIX = "s"
+CORRECT_TERM = "grup"
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = bm25.docfreq_df(bm25.tf_df(_docs(spark, sf_dir)))
+    return suggest.prefix_suggest(vocab, SUGGEST_PREFIX, DEFAULT_TOP_K)
+
+
+def q_term_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = bm25.docfreq_df(bm25.tf_df(_docs(spark, sf_dir)))
+    return suggest.term_correct(vocab, CORRECT_TERM, DEFAULT_TOP_K)
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,6 +1408,8 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they rotate back into the window in round 5 per ROTATION.md.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
+    "term_suggest": q_term_suggest,
+    "term_correct": q_term_correct,
     "dedup_clusters_star": q_dedup_clusters_star,
     # -- serving implementation changed in r4 (invariant #4) ------------
     "fuzzy_spans": q_fuzzy_spans,
@@ -2377,3 +2397,24 @@ FROM reach GROUP BY node
 # star contraction must reach the identical fixpoint as min-label —
 # same declarative transitive-closure oracle
 ORACLE_SQL["dedup_clusters_star"] = ORACLE_SQL["dedup_clusters"]
+
+_VOCAB_CTE = f"""{_TOKS_CTE},
+v AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term)"""
+
+ORACLE_SQL["term_suggest"] = f"""
+WITH {_VOCAB_CTE}
+SELECT term, df FROM v
+WHERE starts_with(term, '{SUGGEST_PREFIX}')
+ORDER BY df DESC, term ASC
+LIMIT {DEFAULT_TOP_K}
+"""
+
+ORACLE_SQL["term_correct"] = f"""
+WITH {_VOCAB_CTE}
+SELECT term, df, CAST(levenshtein(term, '{CORRECT_TERM}') AS INT) AS dist
+FROM v
+WHERE abs(length(term) - {len(CORRECT_TERM)}) <= {suggest.DEFAULT_MAX_DIST}
+  AND levenshtein(term, '{CORRECT_TERM}') BETWEEN 1 AND {suggest.DEFAULT_MAX_DIST}
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT {DEFAULT_TOP_K}
+"""
