@@ -98,6 +98,24 @@ def bm25_topk(
     global idf/avgdl. Catalyst pushes the resulting semi-join predicate
     into the scan.
     """
+    scored = bm25_scores(
+        docs, query, id_col, text_col, round_scores, scope, scope_ids
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_scores: bool = True,
+    scope=None,
+    scope_ids: DataFrame | None = None,
+) -> DataFrame:
+    """(id, score) for every candidate document matching >=1 query term
+    — bm25_topk without the final rank/limit, for consumers that rank
+    under a different order (e.g. per-conversation collapse)."""
     spark = docs.sparkSession
     q_terms = sorted(set(tokenize_py(query)))
     if not q_terms:
@@ -142,7 +160,45 @@ def bm25_topk(
     )
     if round_scores:
         scored = scored.withColumn("score", round_half_up(F.col("score"), SCORE_DECIMALS))
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    return scored
+
+
+def collapse_topk(
+    docs: DataFrame,
+    query: str,
+    collapse_col: str,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Field-collapsed BM25 top-k: at most ONE hit per `collapse_col`
+    group (the group's best-scoring doc, ties to ascending id), then
+    the k best groups by (score DESC, id ASC).
+
+    The search-result diversity op every transcript deployment needs —
+    without it, one verbose conversation's turns fill the whole page.
+    Plan: scores → broadcast-joinable (id, collapse) projection →
+    row_number window per collapse key → rn=1 filter. Spark rewrites
+    the rank-then-filter pair to WindowGroupLimit (per-partition
+    partial top-1 BEFORE the window shuffle), so the exchange carries
+    at most one row per (input partition, collapse key); finish is
+    TakeOrderedAndProject. Scales with |groups|, not |docs|.
+    """
+    from pyspark.sql import Window
+
+    scored = bm25_scores(docs, query, id_col, text_col)
+    keyed = scored.join(docs.select(id_col, collapse_col), id_col)
+    w = Window.partitionBy(collapse_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select(id_col, collapse_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def boolean_search(

@@ -206,3 +206,27 @@ def refine_spans(
             yield out
 
     return hits.mapInPandas(refine, schema=out_schema)
+
+
+def snippet_exprs(text_col, terms: list[str], radius: int = 60, width: int = 160):
+    """(first_off, snippet) Column pair: a fixed-width snippet around
+    the EARLIEST occurrence of any query term in lower(text) — the
+    exact-match half of the reference's highlight stage
+    (/root/reference/src/fuzzy.rs:24-26 exact short-circuit), SQL-
+    expressible so it gets a hard oracle (unlike the Jaro-Winkler
+    fallback above, which stays rows-only).
+
+    first_off is 1-based (SQL strpos convention), NULL when no term
+    occurs. Pure JVM expressions (instr/least/substring) evaluated on
+    the <=k winner rows only — runs post-top-k, cost bounded by k.
+    Both engines' least()/greatest() skip NULLs, instr/strpos agree on
+    1-based-or-0 semantics, and substring clamps — pinned by the
+    term_snippets oracle and tests/test_suggest.py known values.
+    """
+    from pyspark.sql import functions as F
+
+    lt = F.lower(text_col)
+    offs = [F.nullif(F.instr(lt, F.lit(t)), F.lit(0)) for t in terms]
+    first_off = F.least(*offs) if len(offs) > 1 else offs[0]
+    start = F.greatest(F.lit(1), first_off - F.lit(radius))
+    return first_off, F.substring(lt, start, width)

@@ -129,6 +129,45 @@ def q_term_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest.term_correct(vocab, CORRECT_TERM, DEFAULT_TOP_K)
 
 
+def q_term_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete served from the PREBUILT index's materialized
+    docfreq table (prepare()'d in executor memory via _doc_index) —
+    the serving-path twin of term_suggest: no corpus rescan, no
+    tokenize, no groupBy; just a StartsWith filter + top-k over
+    |vocab| rows. Same oracle as term_suggest (index tokenization is
+    the identity on the artifact-free fixture)."""
+    idx = _doc_index(spark, sf_dir)
+    vocab = idx.docfreq.select("term", F.col("df").cast("long").alias("df"))
+    return suggest.prefix_suggest(vocab, SUGGEST_PREFIX, DEFAULT_TOP_K)
+
+
+def q_search_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed BM25: flagship query, at most one hit per
+    `source` (the conversation/file analog), k best groups."""
+    return bm25.collapse_topk(
+        _docs(spark, sf_dir), FLAGSHIP_QUERY, "source", DEFAULT_TOP_K
+    )
+
+
+def q_term_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet serving: fixed-width window around the earliest
+    flagship-term occurrence in each BM25 winner — the exact-match
+    half of the reference's highlight stage, hard-oracle-checked
+    (the Jaro-Winkler fuzzy half stays rows-only in fuzzy_spans)."""
+    from semantic_pdf_search_engine_spark.operators.spans import snippet_exprs
+
+    docs = _docs(spark, sf_dir)
+    winners = bm25.bm25_topk(docs, FLAGSHIP_QUERY, DEFAULT_TOP_K)
+    joined = winners.join(docs.select("doc_id", "text"), "doc_id")
+    off, snip = snippet_exprs(F.col("text"), _FLAGSHIP_TERMS)
+    return joined.select(
+        "doc_id",
+        "score",
+        off.cast("int").alias("first_off"),
+        snip.alias("snippet"),
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = bm25.dl_df(_docs(spark, sf_dir))
     return dl.agg(
@@ -1410,6 +1449,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     "term_suggest": q_term_suggest,
     "term_correct": q_term_correct,
+    "term_suggest_indexed": q_term_suggest_indexed,
+    "search_collapse": q_search_collapse,
+    "term_snippets": q_term_snippets,
     "dedup_clusters_star": q_dedup_clusters_star,
     # -- serving implementation changed in r4 (invariant #4) ------------
     "fuzzy_spans": q_fuzzy_spans,
@@ -2417,4 +2459,54 @@ WHERE abs(length(term) - {len(CORRECT_TERM)}) <= {suggest.DEFAULT_MAX_DIST}
   AND levenshtein(term, '{CORRECT_TERM}') BETWEEN 1 AND {suggest.DEFAULT_MAX_DIST}
 ORDER BY dist ASC, df DESC, term ASC
 LIMIT {DEFAULT_TOP_K}
+"""
+
+# index tokenization (normalize + lower + split) is the identity on the
+# artifact-free fixture, so the indexed autocomplete path shares the
+# recompute path's oracle
+ORACLE_SQL["term_suggest_indexed"] = ORACLE_SQL["term_suggest"]
+
+_FLAGSHIP_LIST = ", ".join(f"'{t}'" for t in _FLAGSHIP_TERMS)
+
+_SCORES_CTE = f"""{_TF_CTE},
+q AS (SELECT unnest([{_FLAGSHIP_LIST}]) AS term),
+scores AS (
+    SELECT tf.doc_id,
+           floor((SUM( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tf
+    JOIN q USING (term)
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)"""
+
+ORACLE_SQL["search_collapse"] = f"""
+WITH {_SCORES_CTE},
+best AS (
+    SELECT s.doc_id, d.source, s.score,
+           ROW_NUMBER() OVER (PARTITION BY d.source
+                              ORDER BY s.score DESC, s.doc_id ASC) AS rn
+    FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, source, score FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
+"""
+
+ORACLE_SQL["term_snippets"] = f"""
+WITH {_SCORES_CTE},
+win AS (
+    SELECT doc_id, score FROM scores
+    ORDER BY score DESC, doc_id ASC LIMIT {DEFAULT_TOP_K}
+)
+SELECT w.doc_id, w.score,
+       CAST(least({", ".join(f"nullif(strpos(lower(d.text), '{t}'), 0)" for t in _FLAGSHIP_TERMS)}) AS INT) AS first_off,
+       substr(lower(d.text),
+              greatest(1, least({", ".join(f"nullif(strpos(lower(d.text), '{t}'), 0)" for t in _FLAGSHIP_TERMS)}) - 60),
+              160) AS snippet
+FROM win w JOIN documents d ON w.doc_id = d.doc_id
 """

@@ -1,0 +1,78 @@
+"""Serving-side result shaping: field-collapsed BM25 top-k and
+exact-match snippet extraction (operators/bm25.collapse_topk,
+operators/spans.snippet_exprs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_pdf_search_engine_spark.operators import bm25
+from semantic_pdf_search_engine_spark.operators.spans import snippet_exprs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # conv A: two docs matching "spark", doc 1 stronger (tf 2)
+        (1, "spark spark filter", "A"),
+        (2, "spark pad pad pad pad pad pad", "A"),
+        # conv B: one weak match
+        (3, "spark pad pad pad pad pad pad pad pad", "B"),
+        # conv C: no match
+        (4, "nothing relevant here", "C"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_collapse_one_hit_per_group(docs):
+    got = bm25.collapse_topk(docs, "spark", "source", k=10).collect()
+    by_src = [r["source"] for r in got]
+    assert sorted(by_src) == ["A", "B"]  # C never matched; A collapsed to 1
+    a_row = next(r for r in got if r["source"] == "A")
+    assert a_row["doc_id"] == 1  # group winner = best score, not first id
+
+
+def test_collapse_rank_order_and_limit(docs):
+    got = bm25.collapse_topk(docs, "spark", "source", k=1).collect()
+    assert len(got) == 1
+    assert got[0]["source"] == "A"
+
+
+def test_collapse_empty_query(docs):
+    assert bm25.collapse_topk(docs, "", "source", k=5).count() == 0
+
+
+def test_collapse_plan_uses_window_group_limit(docs):
+    df = bm25.collapse_topk(docs, "spark", "source", k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial top-1 per group BEFORE the collapse-key exchange — the
+    # shuffle carries <=1 row per (input partition, group)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_snippet_known_values(spark):
+    rows = [
+        (1, "x" * 100 + "NEEDLE tail"),  # interior hit: window starts off-60
+        (2, "NEEDLE at start"),  # clamp: start stays 1
+        (3, "no match here"),  # absent: NULL offset
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    off, snip = snippet_exprs(F.col("text"), ["needle"], radius=60, width=160)
+    got = {
+        r["doc_id"]: (r["off"], r["snip"])
+        for r in df.select("doc_id", off.alias("off"), snip.alias("snip")).collect()
+    }
+    assert got[1][0] == 101
+    assert got[1][1].startswith("x" * 60 + "needle")
+    assert got[2] == (1, "needle at start")
+    # absent term: NULL offset; greatest() skips the NULL start in both
+    # engines, so the snippet degrades to the document head (winners
+    # always contain >=1 term, so this row never reaches serving)
+    assert got[3] == (None, "no match here")
+
+
+def test_snippet_earliest_of_multiple_terms(spark):
+    df = spark.createDataFrame([(1, "bbb aaa")], "doc_id long, text string")
+    off, _ = snippet_exprs(F.col("text"), ["aaa", "bbb"])
+    assert df.select(off.alias("o")).first()["o"] == 1  # bbb occurs first
