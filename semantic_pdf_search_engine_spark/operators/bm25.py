@@ -251,3 +251,97 @@ def boolean_search(
         round_scores=round_scores,
         scope_ids=cand,
     )
+
+
+def search_facets(
+    docs: DataFrame,
+    query: str,
+    facet_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Facet counts over the BM25 candidate set: (facet, n_hits,
+    best_score) per distinct `facet_col` value with >=1 matching doc —
+    the result-page sidebar ("12 hits in conv A, 3 in conv B") every
+    search UI derives from the full candidate set, not the top-k page.
+    One extra groupBy on the facet key after the score agg; best_score
+    is max of the already-rounded per-doc scores, so the facet row is
+    exactly reproducible from the ranked results."""
+    scored = bm25_scores(docs, query, id_col, text_col)
+    return (
+        scored.join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.max("score").alias("best_score"),
+        )
+    )
+
+
+def more_like_this(
+    docs: DataFrame,
+    doc_id_val,
+    m: int = 8,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Similar-document retrieval: the source doc's top-m TF-IDF terms
+    become the query, BM25-ranked over every OTHER doc — the classic
+    relevance-feedback "more like this" the reference serves through
+    embedding nearest-neighbours (/root/reference/src/qdrant.rs:70-96);
+    this is its sparse/lexical twin over the same index statistics.
+
+    Fully one DAG, no driver collect: term selection is relational
+    (tf rows of the source doc joined to docfreq, weight =
+    tf * ln(N/df) rounded to SCORE_DECIMALS — the exact weight shape
+    of traindata.tfidf_top_terms so ties break identically — top-m by
+    weight DESC, term ASC), and the m-row term set broadcasts into the
+    same candidate-scoring join bm25_scores uses. At 100 TB the extra
+    cost over a literal-terms query is one broadcast of m rows."""
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    dfreq = docfreq_df(tf, id_col)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    weight = round_half_up(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs") / F.col("df").cast("double")),
+        SCORE_DECIMALS,
+    )
+    qterms = (
+        tf.filter(F.col(id_col) == doc_id_val)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", weight.alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(m)
+        .select("term")
+    )
+    # one broadcast join does both jobs: restrict tf to the m query
+    # terms AND attach their df (dfreq semi-filtered to qterms is <=m
+    # rows)
+    scored = (
+        tf.join(F.broadcast(dfreq.join(qterms, "term", "left_semi")), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            bm25_contrib_expr(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+                idf_expr(F.col("n_docs"), F.col("df").cast("double")),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+        .withColumn("score", round_half_up(F.col("score"), SCORE_DECIMALS))
+    )
+    return (
+        scored.filter(F.col(id_col) != doc_id_val)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

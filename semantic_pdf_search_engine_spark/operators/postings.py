@@ -463,3 +463,97 @@ def phrase_occurrences_indexed(
         .filter(F.col("term").isin(distinct_terms))
     )
     return _phrase_over_postings(postings, seq, id_col)
+
+
+def _near_over_postings(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared tail of the on-the-fly and indexed proximity paths:
+    (doc_id, min_dist) for docs containing BOTH terms with token-
+    position distance <= window. The pairwise-min fold is a pure
+    Column higher-order expression (array_min over transform) — per
+    doc it costs |positions_a| x |positions_b|, both bounded by the
+    term's per-doc tf, and nothing but the two terms' postings ever
+    shuffles. Same map-pivot shape as _phrase_over_postings (NOT a
+    two-branch self-join, which would scan the postings source twice —
+    on the on-the-fly path that source is the full corpus). One
+    definition so the two sources cannot drift."""
+    per_doc = (
+        postings.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm")
+        )
+        .filter(F.size(F.map_keys(F.col("pm"))) == 2)  # both terms present
+    )
+    pa = F.element_at(F.col("pm"), term_a)
+    pb = F.element_at(F.col("pm"), term_b)
+    min_dist = F.array_min(
+        F.transform(
+            pa,
+            lambda x: F.array_min(F.transform(pb, lambda y: F.abs(x - y))),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col), min_dist.cast("int").alias("min_dist")
+    ).filter(F.col("min_dist") <= window)
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR/W retrieval: docs where `term_a` and `term_b` occur within
+    `window` token positions — the proximity operator classic fulltext
+    engines expose beside exact phrase (phrase = NEAR/1 ordered; this
+    is unordered). The reference approximates proximity only through
+    its fuzzy sliding window (/root/reference/src/fuzzy.rs:64-97);
+    here it is exact over the same positional postings the phrase path
+    intersects: only the two terms' postings move, adjacency relaxed
+    to a distance bound. Returns (doc_id, min_dist), min_dist >= 1."""
+    if term_a == term_b:
+        raise ValueError("proximity_search requires two distinct terms")
+    return _near_over_postings(
+        positional_postings(docs, [term_a, term_b], id_col, text_col),
+        term_a,
+        term_b,
+        window,
+        id_col,
+    )
+
+
+def proximity_search_indexed(
+    spark,
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """proximity_search served from the materialized positional index:
+    partition-pruned to the two terms' term_bucket directories (<=2 of
+    NUM_TERM_BUCKETS) exactly like phrase_occurrences_indexed — the
+    build-once/probe-many form. Identical output to the on-the-fly
+    path by construction (pinned in tests/test_spans.py)."""
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        term_bucket_of,
+    )
+
+    if term_a == term_b:
+        raise ValueError("proximity_search requires two distinct terms")
+    buckets = sorted({term_bucket_of(term_a), term_bucket_of(term_b)})
+    postings = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin([term_a, term_b]))
+    )
+    return _near_over_postings(postings, term_a, term_b, window, id_col)

@@ -168,6 +168,54 @@ def q_term_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_A, NEAR_B = "filter", "join"
+NEAR_WINDOW = 3
+MLT_DOC_ID = 7
+MLT_M = 8
+
+
+def q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/W proximity retrieval (postings.proximity_search): docs
+    where both terms occur within NEAR_WINDOW token positions, exact
+    over positional postings — only the two terms' postings shuffle.
+    Hard oracle (position self-join over the tokenized corpus)."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        proximity_search,
+    )
+
+    return proximity_search(_docs(spark, sf_dir), NEAR_A, NEAR_B, NEAR_WINDOW)
+
+
+def q_near_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`near_search` served from the MATERIALIZED positional index
+    (partition-pruned to the two terms' term_bucket dirs) — same hard
+    oracle, identical output by construction (also pinned in
+    tests/test_spans.py)."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        proximity_search_indexed,
+    )
+
+    return proximity_search_indexed(
+        spark, _pos_index(spark, sf_dir), NEAR_A, NEAR_B, NEAR_WINDOW
+    )
+
+
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over the flagship query's full BM25 candidate set:
+    (source, n_hits, best_score) — the result-page sidebar aggregate.
+    Hard oracle (same scores CTE as search_collapse)."""
+    return bm25.search_facets(_docs(spark, sf_dir), FLAGSHIP_QUERY, "source")
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document retrieval: MLT_DOC_ID's top-MLT_M TF-IDF terms
+    as the query, BM25 top-k over every other doc, one DAG, no driver
+    collect. Hard oracle (term-selection subquery + bm25 twin)."""
+    return bm25.more_like_this(
+        _docs(spark, sf_dir), MLT_DOC_ID, MLT_M, DEFAULT_TOP_K
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = bm25.dl_df(_docs(spark, sf_dir))
     return dl.agg(
@@ -1452,6 +1500,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_suggest_indexed": q_term_suggest_indexed,
     "search_collapse": q_search_collapse,
     "term_snippets": q_term_snippets,
+    "near_search": q_near_search,
+    "near_search_indexed": q_near_search_indexed,
+    "search_facets": q_search_facets,
+    "more_like_this": q_more_like_this,
     "dedup_clusters_star": q_dedup_clusters_star,
     # -- serving implementation changed in r4 (invariant #4) ------------
     "fuzzy_spans": q_fuzzy_spans,
@@ -2509,4 +2561,66 @@ SELECT w.doc_id, w.score,
               greatest(1, least({", ".join(f"nullif(strpos(lower(d.text), '{t}'), 0)" for t in _FLAGSHIP_TERMS)}) - 60),
               160) AS snippet
 FROM win w JOIN documents d ON w.doc_id = d.doc_id
+"""
+
+ORACLE_SQL["near_search"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i, toks[i] AS term
+    FROM tk, unnest(generate_series(1, len(toks))) AS g(i)
+    WHERE toks[i] IN ('{NEAR_A}', '{NEAR_B}')
+)
+SELECT a.doc_id, CAST(MIN(abs(a.i - b.i)) AS INT) AS min_dist
+FROM (SELECT doc_id, i FROM pos WHERE term = '{NEAR_A}') a
+JOIN (SELECT doc_id, i FROM pos WHERE term = '{NEAR_B}') b USING (doc_id)
+GROUP BY a.doc_id
+HAVING MIN(abs(a.i - b.i)) <= {NEAR_WINDOW}
+"""
+
+# the indexed path is output-identical by construction (same postings,
+# pruned read) — same oracle
+ORACLE_SQL["near_search_indexed"] = ORACLE_SQL["near_search"]
+
+ORACLE_SQL["search_facets"] = f"""
+WITH {_SCORES_CTE}
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(s.score) AS best_score
+FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+ORACLE_SQL["more_like_this"] = f"""
+WITH {_TF_CTE},
+qt AS (
+    SELECT term FROM (
+        SELECT tf.term,
+               floor((CAST(tf.tf AS DOUBLE) * ln(stats.n_docs / CAST(dfreq.df AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS weight
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+        WHERE tf.doc_id = {MLT_DOC_ID}
+        ORDER BY weight DESC, tf.term ASC
+        LIMIT {MLT_M}
+    )
+),
+scores AS (
+    SELECT tf.doc_id,
+           floor((SUM( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tf
+    JOIN qt USING (term)
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scores
+WHERE doc_id <> {MLT_DOC_ID}
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
 """

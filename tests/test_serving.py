@@ -76,3 +76,33 @@ def test_snippet_earliest_of_multiple_terms(spark):
     df = spark.createDataFrame([(1, "bbb aaa")], "doc_id long, text string")
     off, _ = snippet_exprs(F.col("text"), ["aaa", "bbb"])
     assert df.select(off.alias("o")).first()["o"] == 1  # bbb occurs first
+
+
+def test_facets_counts_and_best(docs):
+    got = {
+        r["source"]: (r["n_hits"], r["best_score"])
+        for r in bm25.search_facets(docs, "spark", "source").collect()
+    }
+    assert set(got) == {"A", "B"}  # C has no candidates
+    assert got["A"][0] == 2 and got["B"][0] == 1
+    # best_score equals the max of the per-doc ranked scores
+    ranked = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25_topk(docs, "spark", k=10).collect()
+    }
+    assert got["A"][1] == max(ranked[1], ranked[2])
+
+
+def test_more_like_this_ranks_shared_rare_terms(spark):
+    rows = [
+        (1, "zebra quagga okapi"),            # source doc: rare terms
+        (2, "zebra quagga okapi extras pad"),  # shares all three
+        (3, "zebra pad pad pad pad pad"),      # shares one
+        (4, "common words only pad"),          # shares none
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25.more_like_this(docs, 1, m=3, k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 1 not in ids  # source doc excluded
+    assert ids[0] == 2  # all-terms doc outranks one-term doc
+    assert 3 in ids and 4 not in ids

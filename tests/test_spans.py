@@ -315,3 +315,62 @@ def test_positional_index_append_equals_full_build(spark, tmp_path):
     # doc 1 "x y z x y" → starts 1, 4; doc 3 "w x y w" → start 2;
     # doc 4 is "y x" (reversed) → no match
     assert got == {1: (2, 1), 3: (1, 2)}
+
+
+def test_proximity_known_values(spark):
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "filter pad pad join"),      # dist 3 — at the window edge
+            (2, "join filter"),              # dist 1, order-independent
+            (3, "filter pad pad pad join"),  # dist 4 — outside window
+            (4, "filter only here"),         # missing one term
+            (5, "join filter pad filter"),   # multiple pairs: min wins
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_search(docs, "filter", "join", window=3).collect()
+    }
+    assert got == {1: 3, 2: 1, 5: 1}
+
+
+def test_proximity_same_term_rejected(spark):
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        proximity_search(docs, "a", "a", window=3)
+
+
+def test_proximity_indexed_equals_on_the_fly(spark, tmp_path):
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        build_positional_index,
+        proximity_search,
+        proximity_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "filter pad join pad filter"),
+            (2, "join pad pad pad pad filter"),
+            (3, "filter join filter join"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "posidx_near")
+    build_positional_index(docs, d)
+    live = sorted(
+        tuple(r) for r in proximity_search(docs, "filter", "join", 2).collect()
+    )
+    idx = sorted(
+        tuple(r)
+        for r in proximity_search_indexed(spark, d, "filter", "join", 2).collect()
+    )
+    assert live == idx and live  # non-empty and identical
