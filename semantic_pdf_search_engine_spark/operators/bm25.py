@@ -132,7 +132,6 @@ def bm25_scores(
         F.avg("dl").alias("avgdl"),
     )
 
-    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
     candidates = tf
     if scope is not None:
         scoped_ids = docs.filter(scope).select(id_col)
@@ -141,9 +140,26 @@ def bm25_scores(
         # candidate restriction by an id DataFrame (boolean_search's
         # conjunctive/negated set); stats stay GLOBAL, same as `scope`
         candidates = candidates.join(scope_ids.select(id_col), id_col, "left_semi")
+    # the broadcast join to the query-restricted dfreq both filters the
+    # candidate stream to the query terms and attaches their df
+    return score_over_terms(candidates, dl, dfreq, stats, id_col, round_scores)
+
+
+def score_over_terms(
+    tf_candidates: DataFrame,
+    dl: DataFrame,
+    dfreq_q: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    round_scores: bool = True,
+) -> DataFrame:
+    """Shared BM25 scoring tail: a candidate (id, term, tf) stream
+    inner-joined to a PRE-RESTRICTED broadcastable (term, df) set
+    (literal query terms, a doc's top TF-IDF terms, a prefix
+    expansion...), summed per doc. The query-term set rides a
+    broadcast; only matching tf rows reach the score agg."""
     scored = (
-        candidates.join(F.broadcast(qdf), "term")  # semi-filter to query terms
-        .join(F.broadcast(dfreq), "term")
+        tf_candidates.join(F.broadcast(dfreq_q.select("term", "df")), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -320,28 +336,91 @@ def more_like_this(
         .limit(m)
         .select("term")
     )
-    # one broadcast join does both jobs: restrict tf to the m query
-    # terms AND attach their df (dfreq semi-filtered to qterms is <=m
-    # rows)
-    scored = (
-        tf.join(F.broadcast(dfreq.join(qterms, "term", "left_semi")), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            bm25_contrib_expr(
-                F.col("tf").cast("double"),
-                F.col("dl").cast("double"),
-                F.col("avgdl"),
-                idf_expr(F.col("n_docs"), F.col("df").cast("double")),
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("contrib").alias("score"))
-        .withColumn("score", round_half_up(F.col("score"), SCORE_DECIMALS))
+    # dfreq semi-filtered to qterms (<=m rows) both restricts tf to
+    # the m query terms and attaches their df
+    scored = score_over_terms(
+        tf, dl, dfreq.join(qterms, "term", "left_semi"), stats, id_col
     )
     return (
         scored.filter(F.col(id_col) != doc_id_val)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def wildcard_search(
+    docs: DataFrame,
+    prefix: str,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-wildcard retrieval (`sta*`): every vocabulary term
+    matching the prefix becomes a disjunct, each scored with its OWN
+    idf, summed per doc — classic fulltext wildcard semantics (a doc
+    matching two expansions outranks one matching one). The expansion
+    set is relational (a StartsWith filter over docfreq — pushed to
+    the vocab scan, never enumerated driver-side) and rides the same
+    broadcast the literal-terms path uses; at 100 TB the expansion is
+    bounded by |vocab with that prefix|, not corpus size."""
+    if not prefix:
+        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    dfreq_q = docfreq_df(tf, id_col).filter(F.col("term").startswith(prefix))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return (
+        score_over_terms(tf, dl, dfreq_q, stats, id_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def prf_expand(
+    docs: DataFrame,
+    query: str,
+    k_docs: int = DEFAULT_TOP_K,
+    n_terms: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio's positive
+    half): take the query's top-k_docs BM25 winners, rank the terms
+    they contain — excluding the query's own terms — by summed TF-IDF
+    (sum of tf over winners x ln(N/df), the tfidf_top_terms weight
+    shape), and return the n_terms best as (term, weight). The
+    expansion a search UI offers as "related searches" and a retrieval
+    pipeline feeds back as query terms.
+
+    Winner ids stay a DataFrame (semi-join, no collect); the term agg
+    runs over only the winners' tf rows, so post-top-k cost is bounded
+    by k_docs x avg doc vocab, and the final rank is
+    TakeOrderedAndProject(n_terms)."""
+    q_terms = sorted(set(tokenize_py(query)))
+    winners = bm25_topk(docs, query, k_docs, id_col, text_col).select(id_col)
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    dfreq = docfreq_df(tf, id_col)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    expansion = (
+        tf.join(winners, id_col, "left_semi")
+        .filter(~F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("tf_sum"))
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            round_half_up(
+                F.col("tf_sum") * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                SCORE_DECIMALS,
+            ).alias("weight"),
+        )
+    )
+    return expansion.orderBy(F.col("weight").desc(), F.col("term").asc()).limit(n_terms)

@@ -172,6 +172,26 @@ NEAR_A, NEAR_B = "filter", "join"
 NEAR_WINDOW = 3
 MLT_DOC_ID = 7
 MLT_M = 8
+WILDCARD_PREFIX = "s"
+PRF_N_TERMS = 10
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-wildcard BM25 (`s*`): every matching vocab term is a
+    disjunct with its own idf; expansion is a relational StartsWith
+    over docfreq, never a driver-side enumeration. Hard oracle
+    (LIKE-filtered dfreq as the query-term set)."""
+    return bm25.wildcard_search(_docs(spark, sf_dir), WILDCARD_PREFIX, DEFAULT_TOP_K)
+
+
+def q_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion: terms characterizing the
+    flagship query's top-10 winners (summed TF-IDF, query's own terms
+    excluded) — "related searches". Hard oracle (winner subquery +
+    weight twin)."""
+    return bm25.prf_expand(
+        _docs(spark, sf_dir), FLAGSHIP_QUERY, DEFAULT_TOP_K, PRF_N_TERMS
+    )
 
 
 def q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1504,6 +1524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_search_indexed": q_near_search_indexed,
     "search_facets": q_search_facets,
     "more_like_this": q_more_like_this,
+    "wildcard_search": q_wildcard_search,
+    "prf_expand": q_prf_expand,
     "dedup_clusters_star": q_dedup_clusters_star,
     # -- serving implementation changed in r4 (invariant #4) ------------
     "fuzzy_spans": q_fuzzy_spans,
@@ -2623,4 +2645,45 @@ SELECT doc_id, score FROM scores
 WHERE doc_id <> {MLT_DOC_ID}
 ORDER BY score DESC, doc_id ASC
 LIMIT {DEFAULT_TOP_K}
+"""
+
+ORACLE_SQL["wildcard_search"] = f"""
+WITH {_TF_CTE},
+qt AS (SELECT term FROM dfreq WHERE term LIKE '{WILDCARD_PREFIX}%'),
+scores AS (
+    SELECT tf.doc_id,
+           floor((SUM( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tf
+    JOIN qt USING (term)
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
+"""
+
+ORACLE_SQL["prf_expand"] = f"""
+WITH {_SCORES_CTE},
+win AS (
+    SELECT doc_id FROM scores
+    ORDER BY score DESC, doc_id ASC LIMIT {DEFAULT_TOP_K}
+),
+exp AS (
+    SELECT tf.term, CAST(SUM(tf.tf) AS DOUBLE) AS tf_sum
+    FROM tf JOIN win USING (doc_id)
+    WHERE tf.term NOT IN ({_FLAGSHIP_LIST})
+    GROUP BY tf.term
+)
+SELECT exp.term,
+       floor((exp.tf_sum * ln(stats.n_docs / CAST(dfreq.df AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS weight
+FROM exp JOIN dfreq ON exp.term = dfreq.term CROSS JOIN stats
+ORDER BY weight DESC, exp.term ASC
+LIMIT {PRF_N_TERMS}
 """

@@ -106,3 +106,34 @@ def test_more_like_this_ranks_shared_rare_terms(spark):
     assert 1 not in ids  # source doc excluded
     assert ids[0] == 2  # all-terms doc outranks one-term doc
     assert 3 in ids and 4 not in ids
+
+
+def test_wildcard_multi_expansion_outranks_single(spark):
+    rows = [
+        (1, "stream sort pad pad"),   # two s-expansions
+        (2, "stream pad pad pad"),    # one
+        (3, "nothing here at all"),   # zero
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25.wildcard_search(docs, "s", k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1 and 2 in ids and 3 not in ids
+
+
+def test_wildcard_empty_prefix(spark):
+    docs = spark.createDataFrame([(1, "stream")], "doc_id long, text string")
+    assert bm25.wildcard_search(docs, "", k=5).count() == 0
+
+
+def test_prf_excludes_query_terms_and_ranks_shared(spark):
+    rows = [
+        (1, "spark zebra zebra okapi"),
+        (2, "spark zebra pad"),
+        (3, "unrelated words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25.prf_expand(docs, "spark", k_docs=2, n_terms=5).collect()
+    terms = [r["term"] for r in got]
+    assert "spark" not in terms  # the query's own term never expands
+    assert terms[0] == "zebra"  # tf_sum 3 across winners beats okapi/pad
+    assert "unrelated" not in terms  # non-winner docs contribute nothing
