@@ -112,6 +112,39 @@ def main(argv: list[str] | None = None) -> int:
     kj.add_argument("--variant", default="lsh", choices=["lsh", "ivf"])
     kj.add_argument("--out", required=True, help="output parquet path")
 
+    sg = sub.add_parser(
+        "suggest",
+        help="vocabulary serving: prefix autocomplete or did-you-mean "
+        "correction over the index's docfreq table",
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", default=None, help="autocomplete prefix")
+    sg.add_argument("--term", default=None, help="misspelled term to correct")
+    sg.add_argument("--k", type=int, default=10)
+
+    ml = sub.add_parser(
+        "mlt",
+        help="more-like-this: BM25 docs similar to --doc-id, served from "
+        "the index (top-m TF-IDF terms of the source doc as the query)",
+    )
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--doc-id", type=int, required=True, help="orig_doc_id")
+    ml.add_argument("--m", type=int, default=8, help="expansion terms")
+    ml.add_argument("--k", type=int, default=10)
+
+    nr = sub.add_parser(
+        "near",
+        help="NEAR/W proximity search: docs with both terms within "
+        "--window token positions",
+    )
+    nr.add_argument("--a", required=True)
+    nr.add_argument("--b", required=True)
+    nr.add_argument("--window", type=int, default=5)
+    nr.add_argument("--pos", default=None, help="materialized positional index dir")
+    nr.add_argument(
+        "--input", default=None, help="documents parquet (on-the-fly, no index)"
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "snapshots":
@@ -281,6 +314,61 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         fn(ai, queries, k=args.k).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out, "wall_sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "suggest":
+        from semantic_pdf_search_engine_spark.operators.suggest import (
+            prefix_suggest,
+            term_correct,
+        )
+        from semantic_pdf_search_engine_spark.sources.index_store import load_index
+
+        from pyspark.sql import functions as F
+
+        if bool(args.prefix) == bool(args.term):
+            p.error("suggest: exactly one of --prefix / --term is required")
+        vocab = load_index(spark, args.index).docfreq.select(
+            "term", F.col("df").cast("long").alias("df")
+        )
+        out = (
+            prefix_suggest(vocab, args.prefix, args.k)
+            if args.prefix
+            else term_correct(vocab, args.term, args.k)
+        )
+        for row in out.collect():
+            print(json.dumps(row.asDict()))
+    elif args.cmd == "mlt":
+        from semantic_pdf_search_engine_spark.plans.query import (
+            more_like_this_indexed,
+        )
+        from semantic_pdf_search_engine_spark.sources.index_store import load_index
+
+        idx = load_index(spark, args.index)
+        # a CLI-built index carries whatever id columns its input had;
+        # address by original ids when present, internal docIDs otherwise
+        id_col = (
+            "orig_doc_id" if "orig_doc_id" in idx.docs.columns else "doc_id"
+        )
+        for row in more_like_this_indexed(
+            idx, args.doc_id, args.m, args.k, id_col=id_col
+        ).collect():
+            print(json.dumps(row.asDict()))
+    elif args.cmd == "near":
+        from semantic_pdf_search_engine_spark.operators.postings import (
+            proximity_search,
+            proximity_search_indexed,
+        )
+
+        if bool(args.pos) == bool(args.input):
+            p.error("near: exactly one of --pos / --input is required")
+        if args.pos:
+            hits = proximity_search_indexed(
+                spark, args.pos, args.a, args.b, args.window
+            )
+        else:
+            hits = proximity_search(
+                spark.read.parquet(args.input), args.a, args.b, args.window
+            )
+        for row in hits.orderBy("doc_id").collect():
+            print(json.dumps(row.asDict()))
     elif args.cmd == "bench":
         import statistics
 

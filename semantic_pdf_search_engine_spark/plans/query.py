@@ -414,3 +414,67 @@ def topk_tree(spark: SparkSession, scored: DataFrame, k: int) -> DataFrame:
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
     )
+
+
+def more_like_this_indexed(
+    index: InvertedIndex,
+    orig_doc_id: int,
+    m: int = 8,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "orig_doc_id",
+) -> DataFrame:
+    """Similar-document retrieval served entirely from the prebuilt
+    index — the scale twin of operators/bm25.more_like_this (same
+    output, pinned by the shared oracle): instead of 4 corpus rescans,
+    term selection reads ONE doc row (pushed filter on the docs table)
+    + the vocab-sized docfreq, and scoring runs score_topk's pruned
+    posting-block path (<=|terms| of 32 term_bucket dirs).
+
+    Term selection stays relational: the source doc's tokens explode
+    from its stored text, join docfreq for df, rank by the
+    tfidf_top_terms weight shape (tf x ln(N/df), half-up-rounded,
+    ties to term ASC). The <=m winning terms are a bounded driver
+    collect (the same k-bounded serving contract as fuzzy_spans
+    winners); k+1 winners are fetched so dropping the source doc
+    still leaves a full top-k page."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    n_docs = float(index.n_docs)
+    src_tf = (
+        index.docs.filter(F.col(id_col) == orig_doc_id)
+        .select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    weight = round_half_up(
+        F.col("tf") * F.log(F.lit(n_docs) / F.col("df").cast("double")),
+        SCORE_DECIMALS,
+    )
+    terms = [
+        r["term"]
+        for r in src_tf.join(index.docfreq.select("term", "df"), "term")
+        .select("term", weight.alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(m)
+        .collect()
+    ]
+    if not terms:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    winners = score_topk(index, " ".join(terms), k + 1)
+    if id_col == "doc_id":
+        return (
+            winners.filter(F.col("doc_id") != orig_doc_id)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+    # broadcast the <=k+1 winner rows INTO the docs scan (two pruned
+    # int columns), never the docs table itself — same in-plan id
+    # mapping shape as the fuzzy_spans serving path
+    return (
+        index.docs.select("doc_id", id_col)
+        .join(F.broadcast(winners), "doc_id")
+        .filter(F.col(id_col) != orig_doc_id)
+        .select(F.col(id_col).alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -176,6 +176,22 @@ WILDCARD_PREFIX = "s"
 PRF_N_TERMS = 10
 
 
+def q_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this served from the PREBUILT compressed index
+    (plans/query.more_like_this_indexed): term selection reads one doc
+    row + the pinned docfreq, scoring runs the pruned posting-block
+    WAND path. Same hard oracle as more_like_this (identical output —
+    index tokenization is the identity on the artifact-free fixture,
+    internal docID order preserves orig id order so ties agree)."""
+    from semantic_pdf_search_engine_spark.plans.query import (
+        more_like_this_indexed,
+    )
+
+    return more_like_this_indexed(
+        _doc_index(spark, sf_dir), MLT_DOC_ID, MLT_M, DEFAULT_TOP_K
+    )
+
+
 def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-wildcard BM25 (`s*`): every matching vocab term is a
     disjunct with its own idf; expansion is a relational StartsWith
@@ -1524,6 +1540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_search_indexed": q_near_search_indexed,
     "search_facets": q_search_facets,
     "more_like_this": q_more_like_this,
+    "more_like_this_indexed": q_more_like_this_indexed,
     "wildcard_search": q_wildcard_search,
     "prf_expand": q_prf_expand,
     "dedup_clusters_star": q_dedup_clusters_star,
@@ -2687,3 +2704,8 @@ FROM exp JOIN dfreq ON exp.term = dfreq.term CROSS JOIN stats
 ORDER BY weight DESC, exp.term ASC
 LIMIT {PRF_N_TERMS}
 """
+
+# index-served twin: identical output by construction (shared weight
+# shape, shared score convention, internal docID order preserves orig
+# id order) — same oracle
+ORACLE_SQL["more_like_this_indexed"] = ORACLE_SQL["more_like_this"]

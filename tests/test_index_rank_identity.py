@@ -146,3 +146,35 @@ def test_batch_equals_single_query(spark, index):
             want = _topk(score_topk(index, q, 10, prune=prune))
             have = sorted(got.get(qi, []), key=lambda t: (-t[1], t[0]))
             assert have == sorted(want, key=lambda t: (-t[1], t[0])), (prune, q)
+
+
+def test_more_like_this_indexed_equals_relational(spark, tmp_path_factory):
+    """The index-served MLT twin returns exactly the relational
+    operator's rows (ids + scores) — the same output-identity contract
+    the shared DuckDB oracle pins at the fixture SFs, here on an
+    independent corpus with multi-term docs and score ties."""
+    from semantic_pdf_search_engine_spark.operators.bm25 import more_like_this
+    from semantic_pdf_search_engine_spark.plans.query import (
+        more_like_this_indexed,
+    )
+
+    rows = [
+        (0, "zebra quagga okapi zebra"),
+        (1, "zebra quagga okapi pad pad"),
+        (2, "zebra pad pad pad"),
+        (3, "quagga okapi pad pad"),
+        (4, "pad pad pad pad"),
+        (5, "zebra quagga okapi pad pad"),  # tie with doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tmp_path_factory.mktemp("mlt_idx")
+    transcripts = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("doc_id").alias("orig_doc_id"),
+        "text",
+    )
+    idx = build_index(spark, transcripts, str(d), stripe_docs=64)
+    rel = [tuple(r) for r in more_like_this(docs, 0, m=3, k=5).collect()]
+    srv = [tuple(r) for r in more_like_this_indexed(idx, 0, m=3, k=5).collect()]
+    assert rel == srv and rel  # identical, non-empty, same order
