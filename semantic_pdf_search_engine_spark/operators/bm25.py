@@ -424,3 +424,32 @@ def prf_expand(
         )
     )
     return expansion.orderBy(F.col("weight").desc(), F.col("term").asc()).limit(n_terms)
+
+
+def search_after(
+    docs: DataFrame,
+    query: str,
+    cursor: tuple[float, int] | None = None,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyset (cursor) pagination: the k results strictly AFTER
+    `cursor` = (score, doc_id) in the total order (score DESC, id ASC)
+    — i.e. score < cursor_score OR (score == cursor_score AND
+    id > cursor_id). cursor=None returns page 1.
+
+    The scalable deep-pagination form: OFFSET n re-ranks n+k rows and
+    the driver must ship/skip n of them every page; the keyset
+    predicate is a plain filter on the scored stream, so page 100
+    costs the same plan as page 1 (and on a sorted/indexed store it
+    prunes the scan). The cursor is the last row of the previous page
+    — exactly opaque-cursor pagination in fulltext serving APIs."""
+    scored = bm25_scores(docs, query, id_col, text_col)
+    if cursor is not None:
+        cs, cd = float(cursor[0]), int(cursor[1])
+        scored = scored.filter(
+            (F.col("score") < cs)
+            | ((F.col("score") == cs) & (F.col(id_col) > cd))
+        )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -176,6 +176,75 @@ WILDCARD_PREFIX = "s"
 PRF_N_TERMS = 10
 
 
+HYBRID_N = 50
+
+PERCOLATE_QUERIES = {
+    "alert_filter_window": "filter window",
+    "alert_join_spark": "join spark",
+    "alert_stream_table_hash": "stream table hash",
+}
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-query percolation (streaming/percolate.percolate):
+    every (doc, query) pair where the doc contains ALL the registered
+    query's terms — the saved-search/alerting inverse of search. The
+    batch core IS the streaming micro-batch body (foreachBatch reuses
+    it verbatim), so this hard oracle pins the stream semantics too."""
+    from semantic_pdf_search_engine_spark.streaming.percolate import (
+        percolate,
+        standing_queries_df,
+    )
+
+    return percolate(
+        _docs(spark, sf_dir), standing_queries_df(spark, PERCOLATE_QUERIES)
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval (operators/fusion.hybrid_topk):
+    BM25 top-50 and exact-cosine top-50 (vec ids as doc ids),
+    reciprocal-rank-fused (K=60) to the 10 best — the modern serving
+    pattern the reference's embedding-only search lacks. Hard oracle
+    (both rankings + the fusion are SQL-expressible)."""
+    from semantic_pdf_search_engine_spark.operators.fusion import hybrid_topk
+
+    return hybrid_topk(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        FLAGSHIP_QUERY,
+        _query_vec(sf_dir),
+        DEFAULT_TOP_K,
+        HYBRID_N,
+    )
+
+
+def q_search_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination (bm25.search_after): page 2 of the
+    flagship query — the cursor is page 1's last row, exactly the
+    opaque-cursor protocol a serving API runs (client returns the
+    cursor, server filters strictly-after). Hard oracle (ranks
+    k+1..2k of the same scored stream)."""
+    docs = _docs(spark, sf_dir)
+    page1 = bm25.bm25_topk(docs, FLAGSHIP_QUERY, DEFAULT_TOP_K).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    return bm25.search_after(docs, FLAGSHIP_QUERY, cur, DEFAULT_TOP_K)
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health/ops surface: one row of corpus statistics served
+    from the PREBUILT index (manifest scalars + one agg over the
+    pinned vocab-sized docfreq — no corpus scan). Hard oracle
+    (recomputed from documents)."""
+    idx = _doc_index(spark, sf_dir)
+    return idx.docfreq.agg(
+        F.lit(int(idx.n_docs)).cast("long").alias("n_docs"),
+        round_half_up(F.lit(float(idx.avgdl)), 6).alias("avgdl"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("df").cast("long").alias("n_postings"),
+    )
+
+
 def q_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """more_like_this served from the PREBUILT compressed index
     (plans/query.more_like_this_indexed): term selection reads one doc
@@ -1543,6 +1612,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "more_like_this_indexed": q_more_like_this_indexed,
     "wildcard_search": q_wildcard_search,
     "prf_expand": q_prf_expand,
+    "hybrid_rrf": q_hybrid_rrf,
+    "search_page2": q_search_page2,
+    "index_stats": q_index_stats,
+    "percolate": q_percolate,
     "dedup_clusters_star": q_dedup_clusters_star,
     # -- serving implementation changed in r4 (invariant #4) ------------
     "fuzzy_spans": q_fuzzy_spans,
@@ -2709,3 +2782,73 @@ LIMIT {PRF_N_TERMS}
 # shape, shared score convention, internal docID order preserves orig
 # id order) — same oracle
 ORACLE_SQL["more_like_this_indexed"] = ORACLE_SQL["more_like_this"]
+
+ORACLE_SQL["hybrid_rrf"] = f"""
+WITH {_SCORES_CTE},
+lexr AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS r
+    FROM scores ORDER BY score DESC, doc_id ASC LIMIT {HYBRID_N}
+),
+qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+sims AS (
+    SELECT vec_id AS doc_id,
+           floor(({_COS.format(a="embedding", b="qvec")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM embeddings, qv
+),
+vecr AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS INT) AS r
+    FROM sims ORDER BY sim DESC, doc_id ASC LIMIT {HYBRID_N}
+),
+f AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           floor((COALESCE(1.0/(60 + l.r), 0.0) + COALESCE(1.0/(60 + v.r), 0.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rrf
+    FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id ASC LIMIT {DEFAULT_TOP_K}
+"""
+
+ORACLE_SQL["search_page2"] = f"""
+WITH {_SCORES_CTE},
+r AS (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scores
+)
+SELECT doc_id, score FROM r
+WHERE rnk BETWEEN {DEFAULT_TOP_K + 1} AND {2 * DEFAULT_TOP_K}
+"""
+
+ORACLE_SQL["index_stats"] = f"""
+WITH {_TF_CTE}
+SELECT (SELECT CAST(n_docs AS BIGINT) FROM stats) AS n_docs,
+       (SELECT floor(avgdl * 1000000.0 + 0.5) / 1000000.0 FROM stats) AS avgdl,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(df) AS BIGINT) AS n_postings
+FROM dfreq
+"""
+
+_PERC_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, qtext in sorted(PERCOLATE_QUERIES.items())
+    for t in sorted(set(tokenize_py(qtext)))
+)
+
+ORACLE_SQL["percolate"] = f"""
+WITH dt AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+q AS (SELECT * FROM (VALUES {_PERC_VALUES}) AS t(query_id, term)),
+qs AS (SELECT query_id, CAST(COUNT(*) AS INT) AS nq FROM q GROUP BY query_id),
+m AS (
+    SELECT dt.doc_id, q.query_id, COUNT(*) AS n
+    FROM dt JOIN q USING (term)
+    GROUP BY dt.doc_id, q.query_id
+)
+SELECT m.doc_id, m.query_id
+FROM m JOIN qs USING (query_id)
+WHERE m.n = qs.nq
+"""

@@ -137,3 +137,37 @@ def test_prf_excludes_query_terms_and_ranks_shared(spark):
     assert "spark" not in terms  # the query's own term never expands
     assert terms[0] == "zebra"  # tf_sum 3 across winners beats okapi/pad
     assert "unrelated" not in terms  # non-winner docs contribute nothing
+
+
+def test_rrf_fusion_known_values(spark):
+    from semantic_pdf_search_engine_spark.operators.fusion import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse([lex, vec], k=10).collect()}
+    # doc 2: rank 2 lexical + rank 1 vector; docs 1/3: one list only
+    assert got[2] == round(1 / 62 + 1 / 61, 6) + 0  # half-up rounding of sum
+    assert abs(got[2] - (1 / 62 + 1 / 61)) < 1e-6
+    assert abs(got[1] - 1 / 61) < 1e-6 and abs(got[3] - 1 / 62) < 1e-6
+    assert got[2] > got[1] > got[3]  # both-lists doc wins
+
+
+def test_search_after_pages_partition_ranking(docs):
+    """page1 + page2 under the cursor protocol == top-2k, disjoint, in
+    order — the keyset filter reproduces OFFSET semantics exactly."""
+    full = bm25.bm25_topk(docs, "spark", k=4).collect()
+    page1 = bm25.bm25_topk(docs, "spark", k=2).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    page2 = bm25.search_after(docs, "spark", cur, k=2).collect()
+    assert [r["doc_id"] for r in page1 + page2] == [r["doc_id"] for r in full]
+
+
+def test_search_after_tie_boundary(spark):
+    """Cursor falling INSIDE a score tie: the id tiebreak must resume
+    mid-tie without skipping or repeating."""
+    rows = [(i, "spark pad pad") for i in range(1, 6)]  # 5 identical docs
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    p1 = bm25.bm25_topk(d, "spark", k=2).collect()
+    p2 = bm25.search_after(d, "spark", (p1[-1]["score"], p1[-1]["doc_id"]), k=2).collect()
+    assert [r["doc_id"] for r in p1] == [1, 2]
+    assert [r["doc_id"] for r in p2] == [3, 4]

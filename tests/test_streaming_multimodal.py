@@ -400,3 +400,67 @@ def test_streaming_session_windows(spark, tmp_path):
         if r["user_id"] in (7, 8)
     }
     assert {g for g in got if g[0] in (7, 8)} == want
+
+
+def test_percolator_known_values(spark):
+    from semantic_pdf_search_engine_spark.streaming.percolate import (
+        percolate,
+        standing_queries_df,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "filter the window now"),      # matches q1 (both terms)
+            (2, "filter only"),                # partial — no match
+            (3, "window filter filter window"),  # repeats still one hit
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    standing = standing_queries_df(
+        spark, {"q1": "filter window", "q2": "absent term"}
+    )
+    got = sorted(
+        (r["doc_id"], r["query_id"]) for r in percolate(docs, standing).collect()
+    )
+    assert got == [(1, "q1"), (3, "q1")]
+
+
+def test_percolator_stream_matches_batch(spark, tmp_path):
+    """The streaming percolator's union of per-batch outputs equals the
+    batch core over the same corpus — semantics pinned batch==stream."""
+    from semantic_pdf_search_engine_spark.streaming.percolate import (
+        percolate,
+        standing_queries_df,
+        start_percolator,
+    )
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            ["filter window pad", "spark join", "join spark extra",
+             "filter pad", "window filter", "stream table hash here"] * 4
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    standing = standing_queries_df(
+        spark,
+        {"a": "filter window", "b": "join spark", "c": "stream table hash"},
+    )
+    inp = str(tmp_path / "in")
+    docs.repartition(5).write.parquet(inp)
+
+    q = start_percolator(
+        spark, inp, standing, str(tmp_path / "hits"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+
+    got = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in spark.read.parquet(str(tmp_path / "hits")).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate(docs, standing).collect()
+    )
+    assert got == want and got
