@@ -152,25 +152,29 @@ def score_over_terms(
     stats: DataFrame,
     id_col: str = "doc_id",
     round_scores: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Shared BM25 scoring tail: a candidate (id, term, tf) stream
     inner-joined to a PRE-RESTRICTED broadcastable (term, df) set
     (literal query terms, a doc's top TF-IDF terms, a prefix
     expansion...), summed per doc. The query-term set rides a
-    broadcast; only matching tf rows reach the score agg."""
+    broadcast; only matching tf rows reach the score agg.
+    `weight_col` (optional column of dfreq_q) scales each term's
+    contribution — weighted-query BM25 (Rocchio feedback, boosts)."""
+    qcols = ["term", "df"] + ([weight_col] if weight_col else [])
+    contrib = bm25_contrib_expr(
+        F.col("tf").cast("double"),
+        F.col("dl").cast("double"),
+        F.col("avgdl"),
+        idf_expr(F.col("n_docs"), F.col("df").cast("double")),
+    )
+    if weight_col:
+        contrib = F.col(weight_col) * contrib
     scored = (
-        tf_candidates.join(F.broadcast(dfreq_q.select("term", "df")), "term")
+        tf_candidates.join(F.broadcast(dfreq_q.select(*qcols)), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            bm25_contrib_expr(
-                F.col("tf").cast("double"),
-                F.col("dl").cast("double"),
-                F.col("avgdl"),
-                idf_expr(F.col("n_docs"), F.col("df").cast("double")),
-            ),
-        )
+        .withColumn("contrib", contrib)
         .groupBy(id_col)
         .agg(F.sum("contrib").alias("score"))
     )
@@ -453,3 +457,48 @@ def search_after(
             | ((F.col("score") == cs) & (F.col(id_col) > cd))
         )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def prf_search(
+    docs: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    k_docs: int = DEFAULT_TOP_K,
+    n_terms: int = 10,
+    beta: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Closed-loop pseudo-relevance feedback (Rocchio positive half,
+    end to end): run the query, expand with prf_expand's top n_terms,
+    re-search with WEIGHTED BM25 — original terms at weight 1.0,
+    expansion terms at `beta` (the classic 0.4) — and return the
+    re-ranked top-k. The automatic-query-refinement op behind "did we
+    miss relevant docs the user's words didn't name".
+
+    One extra retrieval round over plain bm25_topk; the expansion term
+    set stays a DataFrame (union of a literal q-term frame and the
+    bounded expansion page) and rides the same broadcast as every
+    other term set through score_over_terms(weight_col=...)."""
+    spark = docs.sparkSession
+    q_terms = sorted(set(tokenize_py(query)))
+    if not q_terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    exp = prf_expand(docs, query, k_docs, n_terms, id_col, text_col).select("term")
+    wq = spark.createDataFrame(
+        [(t, 1.0) for t in q_terms], "term string, w double"
+    )
+    # prf_expand excludes the query's own terms, so the union is disjoint
+    wterms = wq.unionByName(exp.withColumn("w", F.lit(float(beta))))
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    dfreq_q = docfreq_df(tf, id_col).join(wterms, "term")
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return (
+        score_over_terms(tf, dl, dfreq_q, stats, id_col, weight_col="w")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

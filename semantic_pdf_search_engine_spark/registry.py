@@ -201,6 +201,24 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRF_BETA = 0.4
+
+
+def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop Rocchio feedback (bm25.prf_search): flagship query →
+    PRF expansion → weighted-BM25 re-search (original terms 1.0,
+    expansion terms 0.4) → re-ranked top-10. Hard oracle (weighted
+    union of term sets + weighted score twin)."""
+    return bm25.prf_search(
+        _docs(spark, sf_dir),
+        FLAGSHIP_QUERY,
+        DEFAULT_TOP_K,
+        DEFAULT_TOP_K,
+        PRF_N_TERMS,
+        PRF_BETA,
+    )
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+vector retrieval (operators/fusion.hybrid_topk):
     BM25 top-50 and exact-cosine top-50 (vec ids as doc ids),
@@ -1616,6 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_page2": q_search_page2,
     "index_stats": q_index_stats,
     "percolate": q_percolate,
+    "prf_search": q_prf_search,
     "dedup_clusters_star": q_dedup_clusters_star,
     # -- serving implementation changed in r4 (invariant #4) ------------
     "fuzzy_spans": q_fuzzy_spans,
@@ -2851,4 +2870,48 @@ m AS (
 SELECT m.doc_id, m.query_id
 FROM m JOIN qs USING (query_id)
 WHERE m.n = qs.nq
+"""
+
+ORACLE_SQL["prf_search"] = f"""
+WITH {_SCORES_CTE},
+win AS (
+    SELECT doc_id FROM scores
+    ORDER BY score DESC, doc_id ASC LIMIT {DEFAULT_TOP_K}
+),
+expw AS (
+    SELECT e.term,
+           floor((e.tf_sum * ln(stats.n_docs / CAST(dfreq.df AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS weight
+    FROM (
+        SELECT tf.term, CAST(SUM(tf.tf) AS DOUBLE) AS tf_sum
+        FROM tf JOIN win USING (doc_id)
+        WHERE tf.term NOT IN ({_FLAGSHIP_LIST})
+        GROUP BY tf.term
+    ) e
+    JOIN dfreq ON e.term = dfreq.term
+    CROSS JOIN stats
+    ORDER BY weight DESC, e.term ASC
+    LIMIT {PRF_N_TERMS}
+),
+wt AS (
+    SELECT term, 1.0 AS w FROM (SELECT unnest([{_FLAGSHIP_LIST}]) AS term)
+    UNION ALL
+    SELECT term, {PRF_BETA} AS w FROM expw
+),
+final AS (
+    SELECT tf.doc_id,
+           floor((SUM( wt.w * (ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * (tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)))) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tf
+    JOIN wt USING (term)
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM final
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
 """
