@@ -383,6 +383,118 @@ def wildcard_search(
     )
 
 
+def fuzzy_search(
+    docs: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    max_dist: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy-term retrieval (Lucene FuzzyQuery semantics): each query
+    term expands to every VOCABULARY term within levenshtein distance
+    <= max_dist (itself at distance 0); each expansion is a disjunct
+    scored with its OWN idf, weighted by the classic fuzzy boost
+    1 - dist/len(query_term); a vocab term reachable from several
+    query terms takes its best (max) weight. Zero-weight expansions
+    (dist == len) are dropped on both engine and oracle sides so they
+    cannot seed score-0 candidates into the top-k.
+
+    The typo-tolerant twin of `term_correct`: correction SUGGESTS a
+    vocabulary term; fuzzy search RETRIEVES through all of them in one
+    DAG. The expansion never leaves the cluster — the query-term frame
+    (a handful of rows) broadcasts into a length-banded non-equi join
+    against docfreq (edit distance >= length difference prunes before
+    the quadratic DP, exactly as in suggest.term_correct), and the
+    surviving (term, df, w) set rides the same broadcast every other
+    term set takes through score_over_terms. At 100 TB the cost above
+    plain BM25 is |vocab in the length band| levenshtein DPs — vocab
+    is Heaps-law sublinear and the DP is whole-stage-codegen'd
+    (F.levenshtein), zero Python."""
+    spark = docs.sparkSession
+    q_terms = sorted(set(tokenize_py(query)))
+    if not q_terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    qdf = spark.createDataFrame(
+        [(t, len(t)) for t in q_terms], "qterm string, qlen int"
+    )
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    vocab = docfreq_df(tf, id_col)
+    expansion = (
+        vocab.join(
+            F.broadcast(qdf),
+            F.abs(F.length("term") - F.col("qlen")) <= F.lit(max_dist),
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("qterm")))
+        .filter(F.col("dist") <= max_dist)
+        .withColumn(
+            "w",
+            F.lit(1.0) - F.col("dist").cast("double") / F.col("qlen").cast("double"),
+        )
+        .filter(F.col("w") > 0)
+        .groupBy("term", "df")
+        .agg(F.max("w").alias("w"))
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return (
+        score_over_terms(tf, dl, expansion, stats, id_col, weight_col="w")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def synonym_search(
+    docs: DataFrame,
+    query: str,
+    synonyms: dict[str, list[str]],
+    syn_weight: float = 0.8,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Thesaurus-expanded retrieval (Lucene SynonymQuery shape): each
+    query term also matches its thesaurus synonyms, discounted to
+    `syn_weight`; every expansion is scored with its OWN idf through
+    the shared weighted tail, and a term reachable both literally and
+    as a synonym keeps its best (max) weight. Synonyms absent from
+    the corpus vocabulary drop at the docfreq join — they cost
+    nothing.
+
+    The thesaurus is query-state (dozens-to-thousands of rows), so it
+    rides the same broadcast every term set takes; at 100 TB the plan
+    is byte-identical to plain BM25 plus a broadcast of the expansion
+    frame. Only synonyms of terms ACTUALLY IN the query expand."""
+    spark = docs.sparkSession
+    q_terms = sorted(set(tokenize_py(query)))
+    if not q_terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    rows = [(t, 1.0) for t in q_terms]
+    for qt, syns in synonyms.items():
+        if qt in q_terms:
+            rows.extend((s, float(syn_weight)) for s in syns)
+    wdf = (
+        spark.createDataFrame(rows, "term string, w double")
+        .groupBy("term")
+        .agg(F.max("w").alias("w"))
+    )
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    expansion = docfreq_df(tf, id_col).join(F.broadcast(wdf), "term")
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return (
+        score_over_terms(tf, dl, expansion, stats, id_col, weight_col="w")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def prf_expand(
     docs: DataFrame,
     query: str,

@@ -557,3 +557,183 @@ def proximity_search_indexed(
         .filter(F.col("term").isin([term_a, term_b]))
     )
     return _near_over_postings(postings, term_a, term_b, window, id_col)
+
+
+def _slop_over_postings(
+    postings: DataFrame, seq: list[str], slop: int, id_col: str
+) -> DataFrame:
+    """Shared tail of the on-the-fly and indexed sloppy-phrase paths
+    (mirrors _phrase_over_postings so the two sources cannot drift):
+    pivot to one term→positions map per doc, drop docs missing any
+    phrase term, then run the GREEDY ordered-chain fold per candidate
+    start.
+
+    Semantics (Lucene SpanNearQuery, ordered): an occurrence at start
+    s ∈ positions[t_0] exists iff there are p_0 = s < p_1 < … <
+    p_{n-1} with p_j ∈ positions[t_j] and total span
+    p_{n-1} - p_0 <= (n-1) + slop. Greedy min-next (p_j = smallest
+    position of t_j greater than p_{j-1}) minimizes the chain end
+    among all increasing chains from s, so existence under the span
+    bound is decided by ONE deterministic fold — no backtracking.
+    slop=0 degenerates to exact adjacency (strictly increasing + span
+    <= n-1 forces p_j = s + j), pinned against phrase_occurrences in
+    tests. Nulls propagate through the fold: an exhausted posting list
+    yields array_min(empty) = NULL, every later comparison is NULL,
+    and the start is filtered out."""
+    distinct_terms = sorted(set(seq))
+    per_doc = (
+        postings.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm")
+        )
+        .filter(F.size(F.map_keys(F.col("pm"))) == len(distinct_terms))
+    )
+    span_bound = len(seq) - 1 + slop
+
+    def _chain_end(s):
+        e = s
+        for t in seq[1:]:
+            arr = F.element_at(F.col("pm"), t)
+            e = F.array_min(F.filter(arr, (lambda prev: lambda x: x > prev)(e)))
+        return e
+
+    def _valid(s):
+        e = _chain_end(s)
+        return e.isNotNull() & (e - s <= F.lit(span_bound))
+
+    starts = F.filter(F.element_at(F.col("pm"), seq[0]), _valid)
+    return (
+        per_doc.select(
+            F.col(id_col),
+            F.size(starts).cast("int").alias("n_occ"),
+            F.array_min(starts).cast("int").alias("first_pos"),
+        )
+        .filter(F.col("n_occ") > 0)
+    )
+
+
+def phrase_slop(
+    docs: DataFrame,
+    phrase: str,
+    slop: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ordered sloppy-phrase search ("search engine"~2): the phrase
+    terms must appear IN ORDER within a token span of len(phrase)-1 +
+    `slop` — the middle ground between exact phrase (slop=0) and
+    unordered NEAR/W (proximity_search). Returns (doc_id, n_occ,
+    first_pos), one occurrence per valid start position of the first
+    term.
+
+    Same plan spine as phrase_occurrences: only the phrase terms'
+    positional postings shuffle (filter pushed below the posting
+    groupBy), one pivot shuffle to per-doc maps, then the greedy chain
+    fold is pure Column expressions — no UDF, no corpus rescan. At
+    100 TB the cost is bounded by the phrase terms' posting sizes,
+    identical to the exact-phrase path."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+
+    # normalize=False mirrors tokens_expr (the doc-side tokenization):
+    # same contract as phrase_occurrences
+    seq = tokenize_py(phrase, normalize=False)
+    if not seq:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_occ int, first_pos int"
+        )
+    return _slop_over_postings(
+        positional_postings(docs, sorted(set(seq)), id_col, text_col),
+        seq,
+        slop,
+        id_col,
+    )
+
+
+def phrase_slop_indexed(
+    spark,
+    index_dir: str,
+    phrase: str,
+    slop: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """phrase_slop served from the materialized positional index:
+    partition-pruned to the phrase terms' term_bucket directories,
+    same greedy fold, identical output to the on-the-fly path by
+    construction (shared _slop_over_postings tail)."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        term_bucket_of,
+    )
+
+    seq = tokenize_py(phrase, normalize=False)
+    if not seq:
+        return spark.createDataFrame([], f"{id_col} long, n_occ int, first_pos int")
+    distinct_terms = sorted(set(seq))
+    buckets = sorted({term_bucket_of(t) for t in distinct_terms})
+    postings = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(distinct_terms))
+    )
+    return _slop_over_postings(postings, seq, slop, id_col)
+
+
+def best_passage(
+    docs: DataFrame,
+    query: str,
+    window: int = 10,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Densest-window passage selection for the top-k BM25 winners
+    (the best-fragment rule of Lucene's FastVectorHighlighter, in
+    token space): among windows of `window` tokens, pick the one
+    containing the MOST query-term occurrences; ties break to the
+    earliest start. Complements term_snippets, which centers on the
+    EARLIEST occurrence regardless of density. Returns
+    (doc_id, score, win_start, n_matched).
+
+    Only candidate starts at match positions need checking (a window
+    not starting at a match is dominated by one that does), so the
+    per-doc work is |matches|² Column-expression comparisons over the
+    winner docs only — k docs, never the corpus. Plan: winners
+    (TakeOrderedAndProject) → semi-join restricts the positional
+    postings stream → per-doc flatten + sort → transform/filter fold;
+    zero Python, zero extra corpus scans."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
+    from semantic_pdf_search_engine_spark.operators.bm25 import bm25_topk
+
+    q_terms = sorted(set(tokenize_py(query)))
+    if not q_terms:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double, win_start int, n_matched int"
+        )
+    winners = bm25_topk(docs, query, k, id_col, text_col)
+    post = positional_postings(docs, q_terms, id_col, text_col)
+    ps = (
+        post.join(winners.select(id_col), id_col, "leftsemi")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("positions"))).alias("ps")
+        )
+    )
+
+    def _cnt(m):
+        return F.size(
+            F.filter(F.col("ps"), lambda x: (x >= m) & (x < m + F.lit(window)))
+        )
+
+    cnts = F.transform(F.col("ps"), _cnt)
+    scored = ps.select(
+        F.col(id_col),
+        F.element_at(F.col("ps"), F.array_position(cnts, F.array_max(cnts)).cast("int"))
+        .cast("int")
+        .alias("win_start"),
+        F.array_max(cnts).cast("int").alias("n_matched"),
+    )
+    return winners.join(scored, id_col).select(
+        id_col, "score", "win_start", "n_matched"
+    )

@@ -170,6 +170,13 @@ def q_term_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_A, NEAR_B = "filter", "join"
 NEAR_WINDOW = 3
+FUZZY_QUERY = "sow filtr"  # typos: sow→{slow,row}, filtr→filter
+FUZZY_MAX_DIST = 1
+SYNONYMS = {"filter": ["scan", "prune"], "join": ["merge"]}
+SYN_WEIGHT = 0.8
+SLOP_PHRASE = "spark filter join"
+PHRASE_SLOP = 4
+PASSAGE_WINDOW = 10
 MLT_DOC_ID = 7
 MLT_M = 8
 WILDCARD_PREFIX = "s"
@@ -216,6 +223,65 @@ def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         DEFAULT_TOP_K,
         PRF_N_TERMS,
         PRF_BETA,
+    )
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant retrieval (bm25.fuzzy_search, Lucene FuzzyQuery
+    semantics): each query term expands to vocabulary terms within
+    levenshtein 1, weighted 1 - dist/len(qterm), best weight wins,
+    weighted-BM25 top-10. 'sow filtr' finds slow/row/filter docs.
+    Hard oracle (DuckDB levenshtein + the weighted score twin)."""
+    return bm25.fuzzy_search(
+        _docs(spark, sf_dir), FUZZY_QUERY, DEFAULT_TOP_K, FUZZY_MAX_DIST
+    )
+
+
+def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thesaurus-expanded retrieval (bm25.synonym_search): flagship
+    query plus synonyms at weight 0.8 ('prune' is out-of-vocabulary
+    and must drop at the docfreq join). Hard oracle (weighted union
+    twin)."""
+    return bm25.synonym_search(
+        _docs(spark, sf_dir), FLAGSHIP_QUERY, SYNONYMS, SYN_WEIGHT, DEFAULT_TOP_K
+    )
+
+
+def q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sloppy phrase (postings.phrase_slop): 'spark filter
+    join'~4 — the three terms in order within a 7-token span, counted
+    per valid start via the greedy min-next chain fold. Hard oracle
+    (EXISTS chain join over unnested positions; greedy existence ≡
+    join existence)."""
+    from semantic_pdf_search_engine_spark.operators.postings import phrase_slop
+
+    return phrase_slop(_docs(spark, sf_dir), SLOP_PHRASE, PHRASE_SLOP)
+
+
+def q_phrase_slop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`phrase_slop` served from the MATERIALIZED positional index
+    (partition-pruned to the three terms' term_bucket dirs) — same
+    hard oracle, identical output by construction (shared
+    _slop_over_postings tail)."""
+    from semantic_pdf_search_engine_spark.operators.postings import (
+        phrase_slop_indexed,
+    )
+
+    return phrase_slop_indexed(
+        spark, _pos_index(spark, sf_dir), SLOP_PHRASE, PHRASE_SLOP
+    )
+
+
+def q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-window passage selection (postings.best_passage): for
+    each flagship BM25 winner, the 10-token window with the most
+    query-term occurrences, ties to the earliest start — the
+    best-fragment highlighter rule. Hard oracle (window-count
+    self-join over unnested positions)."""
+    from semantic_pdf_search_engine_spark.operators.postings import best_passage
+
+    return best_passage(
+        _docs(spark, sf_dir), FLAGSHIP_QUERY, PASSAGE_WINDOW, DEFAULT_TOP_K
     )
 
 
@@ -1635,6 +1701,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_stats": q_index_stats,
     "percolate": q_percolate,
     "prf_search": q_prf_search,
+    "fuzzy_search": q_fuzzy_search,
+    "synonym_search": q_synonym_search,
+    "phrase_slop": q_phrase_slop,
+    "phrase_slop_indexed": q_phrase_slop_indexed,
+    "best_passage": q_best_passage,
     "dedup_clusters_star": q_dedup_clusters_star,
     # -- serving implementation changed in r4 (invariant #4) ------------
     "fuzzy_spans": q_fuzzy_spans,
@@ -2914,4 +2985,145 @@ final AS (
 SELECT doc_id, score FROM final
 ORDER BY score DESC, doc_id ASC
 LIMIT {DEFAULT_TOP_K}
+"""
+
+_FUZZY_QLIST = ", ".join(f"'{t}'" for t in sorted(set(FUZZY_QUERY.split())))
+
+ORACLE_SQL["fuzzy_search"] = f"""
+WITH {_TF_CTE},
+q AS (SELECT unnest([{_FUZZY_QLIST}]) AS qterm),
+exp AS (
+    SELECT dfreq.term, dfreq.df,
+           MAX(1.0 - CAST(levenshtein(dfreq.term, q.qterm) AS DOUBLE)
+                   / CAST(length(q.qterm) AS DOUBLE)) AS w
+    FROM dfreq JOIN q
+      ON abs(length(dfreq.term) - length(q.qterm)) <= {FUZZY_MAX_DIST}
+     AND levenshtein(dfreq.term, q.qterm) <= {FUZZY_MAX_DIST}
+     AND 1.0 - CAST(levenshtein(dfreq.term, q.qterm) AS DOUBLE)
+             / CAST(length(q.qterm) AS DOUBLE) > 0
+    GROUP BY dfreq.term, dfreq.df
+),
+final AS (
+    SELECT tf.doc_id,
+           floor((SUM( exp.w * (ln(1.0 + (stats.n_docs - exp.df + 0.5) / (exp.df + 0.5))
+                * (tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)))) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tf
+    JOIN exp USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM final
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
+"""
+
+_SYN_WT_ROWS = " UNION ALL ".join(
+    [f"SELECT unnest([{_FLAGSHIP_LIST}]) AS term, 1.0 AS w"]
+    + [
+        f"SELECT '{s}' AS term, {SYN_WEIGHT} AS w"
+        for qt, syns in sorted(SYNONYMS.items())
+        for s in syns
+        if qt in _FLAGSHIP_TERMS
+    ]
+)
+
+ORACLE_SQL["synonym_search"] = f"""
+WITH {_TF_CTE},
+wt AS ({_SYN_WT_ROWS}),
+wmax AS (SELECT term, MAX(w) AS w FROM wt GROUP BY term),
+exp AS (SELECT dfreq.term, dfreq.df, wmax.w FROM dfreq JOIN wmax USING (term)),
+final AS (
+    SELECT tf.doc_id,
+           floor((SUM( exp.w * (ln(1.0 + (stats.n_docs - exp.df + 0.5) / (exp.df + 0.5))
+                * (tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)))) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tf
+    JOIN exp USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM final
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
+"""
+
+
+def _slop_oracle_sql(phrase: str, slop: int) -> str:
+    """EXISTS-chain twin of the greedy fold: an occurrence at start s
+    exists iff an increasing chain of the phrase terms fits in the
+    span bound — equivalent to greedy min-next existence."""
+    seq = phrase.split()
+    span = len(seq) - 1 + slop
+    terms_list = ", ".join(f"'{t}'" for t in sorted(set(seq)))
+    joins = "\n".join(
+        f"        JOIN pos p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.term = '{t}'"
+        f" AND p{j}.i > p{j - 1}.i"
+        + (f" AND p{j}.i - p0.i <= {span}" if j == len(seq) - 1 else "")
+        for j, t in enumerate(seq[1:], start=1)
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i, toks[i] AS term
+    FROM tk, unnest(generate_series(1, len(toks))) AS g(i)
+    WHERE toks[i] IN ({terms_list})
+),
+occ AS (
+    SELECT p0.doc_id, p0.i AS s
+    FROM pos p0
+{joins}
+    WHERE p0.term = '{seq[0]}'
+    GROUP BY p0.doc_id, p0.i
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_occ, CAST(MIN(s) AS INT) AS first_pos
+FROM occ GROUP BY doc_id
+"""
+
+
+ORACLE_SQL["phrase_slop"] = _slop_oracle_sql(SLOP_PHRASE, PHRASE_SLOP)
+ORACLE_SQL["phrase_slop_indexed"] = ORACLE_SQL["phrase_slop"]
+
+ORACLE_SQL["best_passage"] = f"""
+WITH {_SCORES_CTE},
+win AS (
+    SELECT doc_id, score FROM scores
+    ORDER BY score DESC, doc_id ASC LIMIT {DEFAULT_TOP_K}
+),
+tkp AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+p AS (
+    SELECT tkp.doc_id, i
+    FROM tkp, unnest(generate_series(1, len(toks))) AS g(i)
+    WHERE toks[i] IN ({_FLAGSHIP_LIST})
+      AND tkp.doc_id IN (SELECT doc_id FROM win)
+),
+cnt AS (
+    SELECT a.doc_id, a.i AS s, COUNT(*) AS n
+    FROM p a JOIN p b ON a.doc_id = b.doc_id
+                     AND b.i >= a.i AND b.i < a.i + {PASSAGE_WINDOW}
+    GROUP BY a.doc_id, a.i
+),
+best AS (SELECT doc_id, MAX(n) AS mx FROM cnt GROUP BY doc_id),
+sel AS (
+    SELECT c.doc_id, CAST(MIN(c.s) AS INT) AS win_start,
+           CAST(b.mx AS INT) AS n_matched
+    FROM cnt c JOIN best b ON c.doc_id = b.doc_id AND c.n = b.mx
+    GROUP BY c.doc_id, b.mx
+)
+SELECT w.doc_id, w.score, sel.win_start, sel.n_matched
+FROM win w JOIN sel USING (doc_id)
 """
