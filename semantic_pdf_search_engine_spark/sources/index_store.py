@@ -348,10 +348,20 @@ class InvertedIndex:
             return self._docfreq_cached
         return self._read_docfreq()
 
-    def prepare(self) -> "InvertedIndex":
+    def prepare(self, warm: bool = True) -> "InvertedIndex":
         """Pin the hot read path in executor memory for a query-serving
         session (a real deployment keeps postings resident; per-query
-        parquet re-reads are a cold-start artifact). Lazy on first use."""
+        parquet re-reads are a cold-start artifact). Lazy on first use.
+
+        `warm=True` additionally runs ONE throwaway top-k query through
+        the full serving plan — Lucene's searcher-warming posture
+        (IndexWriter.IndexReaderWarmer / warming queries on a new
+        searcher): the first few queries on a fresh session otherwise
+        pay whole-stage-codegen compilation, Python-worker pool
+        spin-up for the Arrow scoring kernel, and first-touch of the
+        cached blocks (measured 3-9x the steady-state latency). The
+        warm-up term is read from the pinned docfreq (resident after
+        persist, so the lookup is cheap) and the result is discarded."""
         # resolve through the same file-list logic as the lazy
         # properties — on a snapshot handle, prepare() must pin the
         # SNAPSHOT's files, not the current table state
@@ -359,6 +369,14 @@ class InvertedIndex:
         self._docfreq_cached = self._read_docfreq().persist()
         self._postings_cached.count()
         self._docfreq_cached.count()
+        if warm:
+            row = self._docfreq_cached.select("term").head(1)
+            if row:
+                from semantic_pdf_search_engine_spark.plans.query import (
+                    score_topk,
+                )
+
+                score_topk(self, row[0]["term"], 10).collect()
         return self
 
     def unpersist(self) -> "InvertedIndex":
