@@ -383,6 +383,43 @@ def wildcard_search(
     )
 
 
+def regex_search(
+    docs: DataFrame,
+    pattern: str,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regex-term retrieval (Lucene RegexpQuery semantics): every
+    vocabulary term matching `pattern` (full-term anchored match)
+    becomes a disjunct scored with its OWN idf, summed per doc — the
+    generalization of wildcard_search from prefix to arbitrary term
+    regex. Expansion is relational (an rlike filter over docfreq —
+    vocab-sized, Heaps-law sublinear, never enumerated driver-side)
+    and rides the same broadcast tail every other term set takes;
+    a prefix-shaped pattern additionally keeps the vocab scan
+    min/max-skippable. At 100 TB the cost above plain BM25 is one
+    regex evaluation per vocab term, zero extra corpus passes."""
+    if not pattern:
+        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    # anchor both ends: term-level regex semantics (Lucene RegexpQuery
+    # matches the WHOLE term; DuckDB twin uses regexp_full_match)
+    dfreq_q = docfreq_df(tf, id_col).filter(
+        F.col("term").rlike(f"^(?:{pattern})$")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return (
+        score_over_terms(tf, dl, dfreq_q, stats, id_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def fuzzy_search(
     docs: DataFrame,
     query: str,

@@ -36,8 +36,9 @@ def assign_doc_ids(
     df: DataFrame,
     num_partitions: int | None = None,
     order_cols: tuple[str, ...] = ORDER_COLS,
+    out_col: str = "doc_id",
 ) -> DataFrame:
-    """Add a `doc_id: long` column = dense rank over order_cols."""
+    """Add an `out_col: long` column = dense rank over order_cols."""
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
         *order_cols
@@ -56,7 +57,7 @@ def assign_doc_ids(
 
     out_schema = StructType(
         [f for f in ordered.schema.fields if f.name != "_pid"]
-        + [StructField("doc_id", LongType(), False)]
+        + [StructField(out_col, LongType(), False)]
     )
     cols = [f.name for f in ordered.schema.fields if f.name != "_pid"]
 
@@ -67,7 +68,7 @@ def assign_doc_ids(
                 continue
             off = offsets[int(pdf["_pid"].iloc[0])]
             out = pdf[cols].copy()
-            out["doc_id"] = range(off + local, off + local + len(pdf))
+            out[out_col] = range(off + local, off + local + len(pdf))
             local += len(pdf)
             yield out
 

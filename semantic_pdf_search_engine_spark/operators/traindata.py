@@ -632,3 +632,213 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tf", "weight", "rank")
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, weight, epochs): temperature-scaled
+    source-mixing weights for a multi-source training corpus — the
+    sampling-rate computation of multilingual/multi-domain pretraining
+    (exponentiated sampling p_s ∝ n_s^alpha, the mT5/XLM-R recipe;
+    alpha<1 upsamples small sources, alpha=1 is proportional). The
+    reference serves one corpus; a 100 TB pipeline mixes many — this is
+    the step that decides how often each is visited.
+
+    weight_s = n_tokens_s^alpha / Σ_t n_tokens_t^alpha;
+    epochs_s = weight_s · Σ_t n_tokens_t / n_tokens_s — how many times
+    source s is traversed when the mixture samples exactly one total
+    epoch's worth of tokens (epochs > 1 ⟺ the source is upsampled).
+
+    Plan: ONE groupBy(source) over per-row token counts (map-side
+    combine) — a single corpus scan — then unbounded-window totals over
+    the |sources|-row aggregate frame (an agg-and-crossJoin would make
+    Catalyst re-derive the totals branch from a SECOND corpus scan; the
+    window form keeps the totals on the tiny frame). No skew
+    (|sources| rows). Hard DuckDB oracle (same pow/window/round
+    shape)."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    per_source = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_expr(F.col(text_col))).cast("long")).alias("n_tokens"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ntd = F.col("n_tokens").cast("double")
+    pow_sum = F.sum(F.pow(ntd, F.lit(alpha))).over(wall)
+    tok_sum = F.sum("n_tokens").over(wall).cast("double")
+    w = F.pow(ntd, F.lit(alpha)) / pow_sum
+    return per_source.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        round_half_up(w, 6).alias("weight"),
+        round_half_up(w * tok_sum / ntd, 6).alias("epochs"),
+    )
+
+
+def lm_logloss_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, logloss, bucket): per-document cross-entropy under the
+    corpus's own unigram language model, bucketed CCNet-style into
+    equal-count quality bands (bucket 0 = head/most-fluent … tail).
+    CCNet (Wenzek et al. 2020) buckets Common Crawl by LM perplexity to
+    carve training tiers; with no external LM in this sandbox the model
+    is the corpus MLE itself — P(t) = ctf_t / total_tokens — which
+    ranks exactly the same way for a fixed corpus and keeps the whole
+    computation an oracle-checkable two-aggregate plan.
+
+    logloss(d) = −Σ_t tf_{d,t}·ln P(t) / dl_d (nats/token; docs with
+    zero tokens are excluded — no distribution to score). Buckets are
+    EXACT equal-count tertiles assigned by global rank WITHOUT a
+    single-partition sort: rank comes from the same two-phase
+    prefix-sum used for docID assignment (range-repartition on
+    (logloss, doc_id) → per-partition counts → driver prefix offsets),
+    then bucket = floor(rank·B/n). The oracle mirrors with
+    row_number() — identical floor arithmetic, deterministic tiebreak.
+
+    Shuffles: tf groupBy, ctf groupBy(term) (vocab-sized, broadcast
+    back), one range-repartition for the rank. All corpus-sized work
+    is linear; nothing funnels through one task."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+    from semantic_pdf_search_engine_spark.operators.docids import (
+        assign_doc_ids,
+        unpersist_doc_ids,
+    )
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").cast("double").alias("total_tokens"))
+    ll = (
+        tf.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            (
+                -F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("ctf").cast("double") / F.col("total_tokens"))
+                )
+                / F.sum("tf").cast("double")
+            ).alias("_raw")
+        )
+        .select(F.col(id_col), round_half_up(F.col("_raw"), 6).alias("logloss"))
+    )
+    ranked = assign_doc_ids(
+        ll, order_cols=("logloss", id_col), out_col="_rank"
+    )
+    n = ranked.count()  # bounded: one count over the cached rank input
+    out = ranked.select(
+        id_col,
+        "logloss",
+        F.floor(F.col("_rank") * F.lit(n_buckets) / F.lit(float(n)))
+        .cast("int")
+        .alias("bucket"),
+    )
+    out = out.localCheckpoint(eager=True)  # release the rank cache safely
+    unpersist_doc_ids(ranked)
+    return out
+
+
+# Classifier features: deliberately CHEAP structural signals (the
+# point is to distill the rule cascade into 4 multiplies for the
+# 100 TB scoring pass) with exact SQL twins. Order is pinned — the
+# oracle's unrolled CTEs index features positionally.
+def _clf_features(text: Column) -> list[Column]:
+    from semantic_pdf_search_engine_spark.functions.quality import (
+        alpha_ratio,
+        stopword_ratio,
+    )
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    return [
+        F.log(F.lit(1.0) + F.size(tokens_expr(text)).cast("double")),
+        alpha_ratio(text),
+        stopword_ratio(text),
+        F.log(F.lit(1.0) + F.length(text).cast("double")),
+    ]
+
+
+def quality_classifier(
+    docs: DataFrame,
+    label: Column,
+    iters: int = 5,
+    lr: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, prob, pred): distill a rule-based corpus filter into a
+    logistic model over cheap structural features — the quality-
+    classifier step of LLM data pipelines (GPT-3's WebText LR filter;
+    Gopher/FineWeb distill heuristics the same way), trained HERE, in
+    the engine, by full-batch gradient descent as pure DataFrame
+    aggregates: per iteration ONE agg over the cached feature table
+    producing |β| numbers (avg gradient per coefficient), collected to
+    the driver (bounded: 5 doubles), β updated, repeat. No MLlib, no
+    per-row Python — at 100 TB each iteration is a single map-side-
+    combined scan of a 5-double-wide table, and the fitted model scores
+    new corpora with 4 multiplies + 1 exp per row.
+
+    Determinism/oracle: features are pinned exprs (same tokenizer and
+    alpha/stopword shapes the quality rules use); standardization uses
+    the explicit avg(x²)−avg(x)² form (NOT engine stddev — algorithms
+    differ); β starts at 0 and every update is the same IEEE arithmetic
+    the unrolled-CTE DuckDB twin performs, so after SCORE_DECIMALS
+    rounding the probabilities are byte-identical. `label` must itself
+    be a deterministic 0/1 Column (the registry feeds quality_verdict's
+    keep flag — the rule cascade being distilled)."""
+    feats = _clf_features(F.col(text_col))
+    cols = [f.alias(f"f{i}") for i, f in enumerate(feats, 1)]
+    base = docs.select(
+        F.col(id_col), label.cast("double").alias("y"), *cols
+    ).persist()
+    nf = len(feats)
+    stats = base.agg(
+        *[F.avg(f"f{i}").alias(f"m{i}") for i in range(1, nf + 1)],
+        *[F.avg(F.col(f"f{i}") * F.col(f"f{i}")).alias(f"q{i}") for i in range(1, nf + 1)],
+    ).collect()[0]
+    means = [stats[f"m{i}"] for i in range(1, nf + 1)]
+    stds = [
+        (max(stats[f"q{i}"] - stats[f"m{i}"] * stats[f"m{i}"], 1e-24)) ** 0.5
+        for i in range(1, nf + 1)
+    ]
+    xs = [
+        ((F.col(f"f{i}") - F.lit(means[i - 1])) / F.lit(stds[i - 1]))
+        for i in range(1, nf + 1)
+    ]
+    beta = [0.0] * (nf + 1)  # [bias, b1..bnf]
+    for _ in range(iters):
+        z = F.lit(beta[0])
+        for j in range(nf):
+            z = z + F.lit(beta[j + 1]) * xs[j]
+        r = F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = base.agg(
+            F.avg(r).alias("g0"),
+            *[F.avg(r * xs[j]).alias(f"g{j + 1}") for j in range(nf)],
+        ).collect()[0]
+        beta = [beta[j] + lr * g[f"g{j}"] for j in range(nf + 1)]
+    z = F.lit(beta[0])
+    for j in range(nf):
+        z = z + F.lit(beta[j + 1]) * xs[j]
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    out = base.select(
+        F.col(id_col),
+        round_half_up(prob, 6).alias("prob"),
+        (prob >= 0.5).cast("int").alias("pred"),
+    )
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -1682,8 +1682,132 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each green in the immediately preceding round (multimodal_meta,
 # frame_sample, resize_plan, exact_spans, pmi_pairs, token_stats) —
 # they rotate back into the window in round 5 per ROTATION.md.
+
+# -- round-5 additions: regex retrieval, term vectors, mixture/LM/
+#    classifier training-data ops --------------------------------------
+
+# matches exactly {scan, small, spark} in the fixture vocabulary —
+# a multi-term expansion distinct from the prefix wildcard's set
+REGEX_PATTERN = "s[a-z]*a[a-z]*"
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-term BM25 (Lucene RegexpQuery): every vocab term fully
+    matching REGEX_PATTERN is a disjunct with its own idf; expansion is
+    an rlike filter over docfreq (vocab-sized), zero extra corpus
+    passes. Hard oracle (regexp_full_match-filtered dfreq)."""
+    return bm25.regex_search(_docs(spark, sf_dir), REGEX_PATTERN, DEFAULT_TOP_K)
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term vectors for the flagship query's top-k winners,
+    served from the PREBUILT index's materialized tf table (the
+    Elasticsearch _termvectors surface): winners come off the pruned
+    posting-block WAND path, their ≤k ids broadcast into the tf scan —
+    no re-tokenization, no corpus scan. Hard oracle (tf CTE joined to
+    the BM25 winner subquery)."""
+    from semantic_pdf_search_engine_spark.plans.query import score_topk
+
+    idx = _doc_index(spark, sf_dir)
+    winners = score_topk(idx, FLAGSHIP_QUERY, DEFAULT_TOP_K).select("doc_id")
+    orig = idx.docs.join(F.broadcast(winners), "doc_id").select(
+        "doc_id", "orig_doc_id"
+    )
+    return idx.tf.join(F.broadcast(orig), "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        "term",
+        F.col("tf").cast("int").alias("tf"),
+    )
+
+
+MIXTURE_ALPHA = 0.7
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights (mT5/XLM-R exponentiated
+    sampling, alpha=0.7) — the sampling-rate step of a multi-source
+    training pipeline. One groupBy + a 1-row broadcast; hard oracle."""
+    from semantic_pdf_search_engine_spark.operators.traindata import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), alpha=MIXTURE_ALPHA)
+
+
+def q_lm_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality bucketing: per-doc cross-entropy under the
+    corpus unigram MLE, exact equal-count tertiles via the two-phase
+    prefix-sum rank (no single-partition sort). Hard oracle
+    (row_number twin with identical floor arithmetic)."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        lm_logloss_buckets,
+    )
+
+    return lm_logloss_buckets(_docs(spark, sf_dir), n_buckets=3)
+
+
+CLF_ITERS = 5
+CLF_LR = 1.0
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch logistic regression distilling the
+    quality_filter rule cascade into 4 structural features — the
+    GPT-3/FineWeb quality-classifier step, trained as pure DataFrame
+    aggregates (one bounded |beta|-number collect per iteration).
+    Hard oracle: the SAME gradient-descent arithmetic unrolled as
+    5 chained CTEs in DuckDB."""
+    from semantic_pdf_search_engine_spark.functions.quality import quality_verdict
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        quality_classifier,
+    )
+
+    label = (
+        quality_verdict(
+            F.col("text"),
+            min_words=QF_MIN_WORDS,
+            min_alpha=QF_MIN_ALPHA,
+            min_quality=QF_MIN_QUALITY,
+        )
+        == "pass"
+    ).cast("int")
+    return quality_classifier(
+        _docs(spark, sf_dir), label, iters=CLF_ITERS, lr=CLF_LR
+    )
+
+
+
+TREND_K = 3
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-k RISING event types — the batch twin of the
+    streaming trending-terms monitor (streaming/windows.trending_terms
+    ranks the SAME columns over the watermarked sink; here the counts
+    come from a batch groupBy over events, the day-string convention of
+    events_daily_rank). rising = n / (1 + prev-day n), add-one
+    smoothed. Hard oracle (LAG + ROW_NUMBER twin)."""
+    from semantic_pdf_search_engine_spark.streaming.windows import trending_terms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("window_start"),
+            F.col("event_type").alias("term"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("window_end", F.col("window_start"))
+    )
+    return trending_terms(counts, k=TREND_K).drop("window_end")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
+    # -- new in r5-prep (this round's tail work; front per invariant #1) -
+    "trending_terms": q_trending_terms,
+    "regex_search": q_regex_search,
+    "term_vectors": q_term_vectors,
+    "mixture_weights": q_mixture_weights,
+    "lm_logloss": q_lm_logloss,
+    "quality_classifier": q_quality_classifier,
     "term_suggest": q_term_suggest,
     "term_correct": q_term_correct,
     "term_suggest_indexed": q_term_suggest_indexed,
@@ -3126,4 +3250,174 @@ sel AS (
 )
 SELECT w.doc_id, w.score, sel.win_start, sel.n_matched
 FROM win w JOIN sel USING (doc_id)
+"""
+
+
+# -- round-5-prep oracles ------------------------------------------------
+
+ORACLE_SQL["regex_search"] = f"""
+WITH {_TF_CTE},
+qt AS (SELECT term FROM dfreq WHERE regexp_full_match(term, '{REGEX_PATTERN}')),
+scores AS (
+    SELECT tf.doc_id,
+           floor((SUM( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tf
+    JOIN qt USING (term)
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
+"""
+
+ORACLE_SQL["term_vectors"] = f"""
+WITH {_SCORES_CTE},
+win AS (
+    SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT {DEFAULT_TOP_K}
+)
+SELECT tf.doc_id, tf.term, tf.tf
+FROM tf JOIN win USING (doc_id)
+"""
+
+ORACLE_SQL["mixture_weights"] = f"""
+WITH t AS (
+    SELECT source,
+           len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                           x -> x <> '')) AS ntok
+    FROM documents
+),
+per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY source
+),
+tot AS (
+    SELECT source, n_docs, n_tokens,
+           SUM(pow(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) OVER () AS pow_sum,
+           CAST(SUM(n_tokens) OVER () AS DOUBLE) AS tok_sum
+    FROM per
+)
+SELECT source, n_docs, n_tokens,
+       floor((pow(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / pow_sum)
+             * 1000000.0 + 0.5) / 1000000.0 AS weight,
+       floor((pow(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / pow_sum * tok_sum
+              / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS epochs
+FROM tot
+"""
+
+ORACLE_SQL["lm_logloss"] = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf FROM toks GROUP BY doc_id, term),
+ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS total FROM ctf),
+ll AS (
+    SELECT doc_id,
+           floor(((-SUM(CAST(tf AS DOUBLE) * ln(CAST(ctf AS DOUBLE) / total)))
+                  / CAST(SUM(tf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS logloss
+    FROM tf JOIN ctf USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ll),
+r AS (
+    SELECT doc_id, logloss,
+           ROW_NUMBER() OVER (ORDER BY logloss ASC, doc_id ASC) - 1 AS rn
+    FROM ll
+)
+SELECT doc_id, logloss, CAST(floor((rn * 3) / n) AS INT) AS bucket
+FROM r CROSS JOIN n
+"""
+
+
+def _clf_oracle_sql(iters: int, lr: float) -> str:
+    """The quality_classifier twin: the SAME standardization and
+    full-batch GD arithmetic the Spark path performs, unrolled as
+    chained CTEs (b0cte → g1/b1cte → … → b{{iters}}cte). Generated, not
+    hand-written, so iteration count/learning rate stay pinned to the
+    registry constants."""
+    feats = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+), r AS (
+    SELECT doc_id, text, toks,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sr
+    FROM t
+), feats AS (
+    SELECT doc_id,
+           ln(1.0 + CAST(len(toks) AS DOUBLE)) AS f1,
+           {_QF_ALPHA} AS f2,
+           sr AS f3,
+           ln(1.0 + CAST(length(text) AS DOUBLE)) AS f4,
+           CAST(CASE WHEN {_QF_WC} < {QF_MIN_WORDS} THEN 0
+                WHEN {_QF_GARBAGE} THEN 0
+                WHEN {_QF_ALPHA} < {QF_MIN_ALPHA} THEN 0
+                WHEN floor((LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+                            + {_QF_ALPHA} * 0.3
+                            + LEAST(sr * 4.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 < {QF_MIN_QUALITY} THEN 0
+                ELSE 1 END AS DOUBLE) AS y
+    FROM r
+), m AS (
+    SELECT {", ".join(f"avg(f{j}) AS m{j}, avg(f{j}*f{j}) AS q{j}" for j in range(1, 5))}
+    FROM feats
+), s AS (
+    SELECT doc_id, y,
+           {", ".join(f"(f{j} - m{j}) / sqrt(GREATEST(q{j} - m{j}*m{j}, 1e-24)) AS x{j}" for j in range(1, 5))}
+    FROM feats CROSS JOIN m
+), b0cte AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3, 0.0 AS b4)"""
+    z = "(b0 + b1*x1 + b2*x2 + b3*x3 + b4*x4)"
+    sig = f"(1.0 / (1.0 + exp(-{z})))"
+    parts = [feats]
+    for i in range(1, iters + 1):
+        prev = f"b{i - 1}cte"
+        parts.append(f""",
+g{i} AS (
+    SELECT avg(y - {sig}) AS g0,
+           {", ".join(f"avg((y - {sig}) * x{j}) AS gx{j}" for j in range(1, 5))}
+    FROM s CROSS JOIN {prev}
+),
+b{i}cte AS (
+    SELECT b0 + {lr} * g0 AS b0,
+           {", ".join(f"b{j} + {lr} * gx{j} AS b{j}" for j in range(1, 5))}
+    FROM {prev} CROSS JOIN g{i}
+)""")
+    parts.append(f"""
+SELECT doc_id,
+       floor({sig} * 1000000.0 + 0.5) / 1000000.0 AS prob,
+       CAST({sig} >= 0.5 AS INT) AS pred
+FROM s CROSS JOIN b{iters}cte
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["quality_classifier"] = _clf_oracle_sql(CLF_ITERS, CLF_LR)
+
+
+ORACLE_SQL["trending_terms"] = f"""
+WITH c AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS window_start, event_type AS term,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT window_start, term, n,
+           floor((CAST(n AS DOUBLE)
+                  / (1.0 + CAST(COALESCE(LAG(n) OVER (PARTITION BY term ORDER BY window_start), 0) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rising
+    FROM c
+)
+SELECT window_start, term, n, rising, rank FROM (
+    SELECT s.*, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                     ORDER BY rising DESC, n DESC, term ASC) AS INT) AS rank
+    FROM s
+) WHERE rank <= {TREND_K}
 """

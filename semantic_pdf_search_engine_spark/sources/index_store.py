@@ -309,6 +309,7 @@ class InvertedIndex:
     postings_rel: str = "postings"
     docfreq_rel: str = "docfreq"
     docs_rel: str = "docs"
+    tf_rel: str = "tf"
     postings_files: list[str] | None = None
     docfreq_files: list[str] | None = None
     docs_files: list[str] | None = None
@@ -401,6 +402,13 @@ class InvertedIndex:
             return self.spark.read.parquet(*self.docs_files)
         return self.spark.read.parquet(f"{self.index_dir}/{self.docs_rel}")
 
+    @property
+    def tf(self) -> DataFrame:
+        """(doc_id, term, tf, dl) — the stage-2 table the build keeps
+        for merges/compaction; also the term-vectors serving surface
+        (per-doc term statistics without re-tokenizing the corpus)."""
+        return self.spark.read.parquet(f"{self.index_dir}/{self.tf_rel}")
+
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         """Payload fetch of winners — the analog of the reference's
         with_payload(true) point lookup (/root/reference/src/qdrant.rs:92)."""
@@ -430,6 +438,7 @@ def load_index(
             postings_rel=p.get("postings_rel", "postings"),
             docfreq_rel=p.get("docfreq_rel", "docfreq"),
             docs_rel=p.get("docs_rel", "docs"),
+            tf_rel=p.get("tf_rel", "tf"),
         )
     snaps = {s["snapshot_id"]: s for s in m.data.get("snapshots", [])}
     if snapshot_id not in snaps:

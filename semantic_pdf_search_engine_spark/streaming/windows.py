@@ -148,3 +148,100 @@ def start_windowed_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_term_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """(window_start, window_end, term, n): tumbling event-time TERM
+    frequencies over the turn stream — the input to trending-terms
+    monitoring (what is the corpus suddenly talking about?). Streaming
+    hash aggregate keyed on (window, term): state is O(open windows ×
+    active vocab), watermark-bounded, never stream-length-bounded;
+    append mode emits each (window, term) row exactly once on
+    finalization."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.col(ts_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+        )
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
+
+
+def trending_terms(
+    counts: DataFrame, k: int = 10, round_decimals: int = 6
+) -> DataFrame:
+    """Per-window top-k RISING terms over finalized (window_start,
+    window_end, term, n) counts — the batch post-pass a monitoring
+    dashboard runs over the streaming sink (windows are immutable once
+    appended, so the lag join never sees a partial window).
+
+    rising = n / (1 + prev_n): add-one-smoothed ratio vs the SAME
+    term's previous window (a term absent last window trends at its
+    full count). Both windows are per-term (lag) or per-window (rank)
+    partitions — bounded state, no global sort. Deterministic
+    tie-break (rising DESC, n DESC, term ASC) so the top-k is unique
+    and oracle-checkable."""
+    from pyspark.sql.window import Window
+
+    from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
+
+    lag = Window.partitionBy("term").orderBy("window_start")
+    prev = F.lag("n").over(lag)
+    scored = counts.withColumn(
+        "rising",
+        round_half_up(
+            F.col("n").cast("double")
+            / (F.lit(1.0) + F.coalesce(prev, F.lit(0)).cast("double")),
+            round_decimals,
+        ),
+    )
+    rank = Window.partitionBy("window_start").orderBy(
+        F.col("rising").desc(), F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "window_end", "term", "n", "rising", "rank")
+    )
+
+
+def start_term_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+):
+    """File stream → watermarked per-window term counts → append-mode
+    parquet sink (the materialized input trending_terms ranks)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = windowed_term_counts(stream, window_duration, watermark_delay)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

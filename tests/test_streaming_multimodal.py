@@ -464,3 +464,77 @@ def test_percolator_stream_matches_batch(spark, tmp_path):
         for r in percolate(docs, standing).collect()
     )
     assert got == want and got
+
+
+def test_streaming_trending_terms(spark, tmp_path):
+    """Watermarked per-window term counts finalize exactly once; the
+    trending post-pass ranks a term whose count jumped above one whose
+    count held steady (add-one-smoothed rising ratio)."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.streaming.windows import (
+        start_term_counts,
+        trending_terms,
+    )
+
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    inp = tmp_path / "in"
+    inp.mkdir()
+
+    def T(h, m):
+        return dt.datetime(2026, 1, 1, h, m, tzinfo=dt.timezone.utc)
+
+    def land(rows, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = inp / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # hour 10: steady term appears twice, spike term once
+    land(
+        [
+            ("c1", 0, "steady steady spike", T(10, 5)),
+            ("c2", 0, "steady", T(10, 40)),
+        ],
+        "b1",
+        1_000_000,
+    )
+    # hour 12: steady holds at 3 (rising 3/(1+3)=0.75), spike jumps
+    # 1 → 6 (rising 6/(1+1)=3.0)
+    land(
+        [
+            ("c1", 1, "steady steady steady spike spike spike", T(12, 10)),
+            ("c2", 1, "spike spike spike", T(12, 20)),
+        ],
+        "b2",
+        1_000_100,
+    )
+    # advance event time so both windows finalize before the drain
+    land([("c3", 0, "flush", T(15, 0))], "b3", 1_000_200)
+    land([("c4", 0, "flush", T(18, 0))], "b4", 1_000_300)
+
+    q = start_term_counts(
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"), schema
+    )
+    assert q.awaitTermination(180)
+
+    counts = spark.read.parquet(str(tmp_path / "out"))
+    hour10 = {
+        r["term"]: r["n"]
+        for r in counts.filter(F.hour("window_start") == 10).collect()
+    }
+    assert hour10 == {"steady": 3, "spike": 1}, hour10
+
+    ranked = trending_terms(counts, k=2).filter(
+        F.hour("window_start") == 12
+    ).collect()
+    by_term = {r["term"]: r for r in ranked}
+    # hour-12: spike rising 3.0 beats steady rising 0.75
+    assert by_term["spike"]["rank"] == 1 and by_term["spike"]["rising"] == 3.0
+    assert by_term["steady"]["rank"] == 2 and by_term["steady"]["rising"] == 0.75

@@ -538,3 +538,121 @@ def test_tfidf_top_terms_known_values(spark):
     assert got[(1, "shared")] == (1, 0.0, 3)
     assert got[(2, "cherry")] == (1, ln2, 1)
     assert got[(2, "shared")] == (1, 0.0, 2)
+
+
+# -- mixture weights / LM buckets / distilled classifier (r4 tail) --------
+
+
+def _mini_docs(spark):
+    rows = [
+        (0, "spark filter join window spark filter join", "a"),
+        (1, "scan sort merge join group agg", "a"),
+        (2, "small table broadcast join fast", "b"),
+        (3, "stream window batch stream window", "b"),
+        (4, "the a the a the a the a", "c"),
+        (5, "query plan filter scan filter scan filter", "c"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_mixture_weights_invariants(spark):
+    """Weights sum to 1; upsampling direction: alpha<1 gives the
+    SMALLEST source a weight above its proportional share and the
+    largest below; epochs_s * n_tokens_s sums to the token budget."""
+    from semantic_pdf_search_engine_spark.operators.traindata import mixture_weights
+
+    out = mixture_weights(_mini_docs(spark), alpha=0.5).collect()
+    w = {r["source"]: r for r in out}
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-5
+    tot = sum(r["n_tokens"] for r in out)
+    for r in out:
+        prop = r["n_tokens"] / tot
+        if r["n_tokens"] == min(x["n_tokens"] for x in out):
+            assert r["weight"] > prop
+        if r["n_tokens"] == max(x["n_tokens"] for x in out):
+            assert r["weight"] < prop
+    budget = sum(r["epochs"] * r["n_tokens"] for r in out)
+    assert abs(budget - tot) / tot < 1e-4
+
+
+def test_mixture_alpha_one_is_proportional(spark):
+    from semantic_pdf_search_engine_spark.operators.traindata import mixture_weights
+
+    out = mixture_weights(_mini_docs(spark), alpha=1.0).collect()
+    tot = sum(r["n_tokens"] for r in out)
+    for r in out:
+        assert abs(r["weight"] - r["n_tokens"] / tot) < 1e-5
+        assert abs(r["epochs"] - 1.0) < 1e-5  # proportional = every source once
+
+
+def test_lm_logloss_buckets_balanced_and_ordered(spark):
+    """Tertiles are equal-count (±1) and order-consistent: every head
+    doc's logloss <= every tail doc's; the repeated-stopword doc (best
+    modeled by the corpus unigram LM) lands in the head bucket."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        lm_logloss_buckets,
+    )
+
+    out = lm_logloss_buckets(_mini_docs(spark), n_buckets=3).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["logloss"])
+    sizes = [len(v) for _, v in sorted(by_bucket.items())]
+    assert max(sizes) - min(sizes) <= 1
+    assert max(by_bucket[0]) <= min(by_bucket[max(by_bucket)])
+
+
+def test_lm_logloss_partition_invariant(spark):
+    """The two-phase prefix-sum rank must give the same buckets no
+    matter how the input is partitioned (the 100 TB determinism
+    claim)."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        lm_logloss_buckets,
+    )
+
+    docs = _mini_docs(spark)
+    a = {r["doc_id"]: (r["logloss"], r["bucket"])
+         for r in lm_logloss_buckets(docs, 3).collect()}
+    b = {r["doc_id"]: (r["logloss"], r["bucket"])
+         for r in lm_logloss_buckets(docs.repartition(7), 3).collect()}
+    assert a == b
+
+
+def test_quality_classifier_learns_the_rule(spark, sf_dir):
+    """Distillation sanity on the fixture corpus: after 5 GD epochs the
+    model must beat the majority-class baseline at reproducing the
+    rule cascade it was trained on, and probabilities are calibrated
+    in direction (mean prob of kept docs > mean prob of dropped)."""
+    from semantic_pdf_search_engine_spark.functions.quality import quality_verdict
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    label = (quality_verdict(F.col("text"), 30, 0.81, 0.62) == "pass").cast("int")
+    out = quality_classifier(docs, label, iters=5, lr=1.0)
+    joined = out.join(
+        docs.select("doc_id", label.alias("y")), "doc_id"
+    ).collect()
+    n = len(joined)
+    maj = max(sum(r["y"] for r in joined), n - sum(r["y"] for r in joined)) / n
+    acc = sum(1 for r in joined if r["pred"] == r["y"]) / n
+    assert acc > maj, (acc, maj)
+    kept = [r["prob"] for r in joined if r["y"] == 1]
+    dropped = [r["prob"] for r in joined if r["y"] == 0]
+    assert sum(kept) / len(kept) > sum(dropped) / len(dropped)
+    assert all(0.0 <= r["prob"] <= 1.0 for r in joined)
+
+
+def test_regex_search_single_expansion_equals_plain_bm25(spark):
+    """A regex matching exactly one vocabulary term must reduce to
+    plain single-term BM25 (same scores, same order)."""
+    from semantic_pdf_search_engine_spark.operators.bm25 import (
+        bm25_topk,
+        regex_search,
+    )
+
+    docs = _mini_docs(spark)
+    got = [(r["doc_id"], r["score"]) for r in regex_search(docs, "jo.n", 10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in bm25_topk(docs, "join", 10).collect()]
+    assert got == want
