@@ -383,6 +383,103 @@ def wildcard_search(
     )
 
 
+def bm25f_topk(
+    docs: DataFrame,
+    query: str,
+    field_weights: dict[str, float],
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fielded retrieval (simplified BM25F, Robertson/Zaragoza): term
+    frequencies and document length are WEIGHTED SUMS across fields
+    before a single BM25 saturation — a title hit counts w_title times
+    a body hit, but saturation applies once per term (unlike naive
+    per-field score summing, which double-saturates). idf comes from
+    the combined document frequency (doc contains the term in ANY
+    field).
+
+    Determinism/oracle shape: per-field tf and dl are INTEGER counts
+    (one explode of per-field token structs — ONE corpus scan, not one
+    per field), combined as w_f·tf_f exact double products with a
+    single addition per field — no float accumulation whose order
+    could differ between engines. Only avgdl and the final score sum
+    are floating aggregations (same class as every BM25 path here,
+    absorbed by SCORE_DECIMALS rounding).
+
+    Scale: one scan + one (doc, term) groupBy + vocab-sized df
+    broadcast — the identical shuffle budget as single-field BM25;
+    adding fields adds zero corpus passes."""
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    spark = docs.sparkSession
+    q_terms = sorted(set(tokenize_py(query)))
+    if not q_terms or not field_weights:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    fields = sorted(field_weights)  # pinned field order
+
+    # one scan: explode the concatenation of per-field (term, field)
+    # structs. The tag lambda takes ONE arg through a closure factory —
+    # a two-parameter lambda would make F.transform pass (element,
+    # array_index) and silently overwrite the field tag.
+    def _tag(fname):
+        return lambda t: F.struct(t.alias("term"), F.lit(fname).alias("field"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(tokens_expr(F.col(f)), _tag(f)) for f in fields])
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode(tagged).alias("tk")
+    ).select(id_col, F.col("tk.term").alias("term"), F.col("tk.field").alias("field"))
+    per_field_tf = tok.groupBy(id_col, "term").agg(
+        *[
+            F.sum(F.when(F.col("field") == f, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, f in enumerate(fields)
+        ]
+    )
+    tfw_expr = None
+    for i, f in enumerate(fields):
+        t = F.lit(field_weights[f]) * F.col(f"tf_{i}").cast("double")
+        tfw_expr = t if tfw_expr is None else tfw_expr + t
+    tfw = per_field_tf.select(id_col, "term", tfw_expr.alias("tfw"))
+
+    dlw_expr = None
+    for f in fields:
+        t = F.lit(field_weights[f]) * F.size(tokens_expr(F.col(f))).cast("double")
+        dlw_expr = t if dlw_expr is None else dlw_expr + t
+    dlw = docs.select(F.col(id_col), dlw_expr.alias("dlw"))
+    stats = dlw.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dlw").alias("avgdlw"),
+    )
+    dfreq_q = (
+        tfw.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter(F.col("term").isin(q_terms))
+    )
+    contrib = idf_expr(F.col("n_docs"), F.col("df").cast("double")) * (
+        F.col("tfw")
+        * F.lit(K1 + 1.0)
+        / (
+            F.col("tfw")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dlw") / F.col("avgdlw"))
+        )
+    )
+    return (
+        tfw.join(F.broadcast(dfreq_q), "term")
+        .join(dlw, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+        .withColumn("score", round_half_up(F.col("score"), SCORE_DECIMALS))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def regex_search(
     docs: DataFrame,
     pattern: str,

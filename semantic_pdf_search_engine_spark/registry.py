@@ -1775,6 +1775,33 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+# alphabetical field order is pinned (operator sorts field names):
+# body carries weight 1.0, title 2.0 — a title hit counts double.
+BM25F_WEIGHTS = {"title": 2.0, "body": 1.0}
+
+
+def q_bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded BM25F retrieval (title = through the first period, body =
+    the rest — the deterministic field split both engines compute from
+    `text`): weighted tf/dl combined BEFORE one saturation, idf from
+    any-field document frequency. ONE corpus scan (per-field token
+    structs exploded together). Hard oracle (same integer per-field
+    counts and weighted arithmetic)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN locate('.', text) > 0 "
+            "THEN substring(text, 1, locate('.', text)) ELSE text END"
+        ).alias("title"),
+        F.expr(
+            "CASE WHEN locate('.', text) > 0 "
+            "THEN substring(text, locate('.', text) + 1) ELSE '' END"
+        ).alias("body"),
+    )
+    return bm25.bm25f_topk(d, FLAGSHIP_QUERY, BM25F_WEIGHTS, DEFAULT_TOP_K)
+
+
 TREND_K = 3
 
 
@@ -1802,6 +1829,7 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     # -- new in r5-prep (this round's tail work; front per invariant #1) -
+    "bm25f_search": q_bm25f_search,
     "trending_terms": q_trending_terms,
     "regex_search": q_regex_search,
     "term_vectors": q_term_vectors,
@@ -3420,4 +3448,68 @@ SELECT window_start, term, n, rising, rank FROM (
                      ORDER BY rising DESC, n DESC, term ASC) AS INT) AS rank
     FROM s
 ) WHERE rank <= {TREND_K}
+"""
+
+
+# fields sorted alphabetically by the operator: tf_0/w=1.0 is body,
+# tf_1/w=2.0 is title — the CASE sums below are pinned to that order
+ORACLE_SQL["bm25f_search"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN strpos(text, '.') > 0
+                THEN substr(text, 1, strpos(text, '.')) ELSE text END AS title,
+           CASE WHEN strpos(text, '.') > 0
+                THEN substr(text, strpos(text, '.') + 1) ELSE '' END AS body
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(body), '{TOKEN_SPLIT_RE}'),
+                              x -> x <> '')) AS term,
+           'body' AS f
+    FROM base
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(title), '{TOKEN_SPLIT_RE}'),
+                              x -> x <> '')) AS term,
+           'title' AS f
+    FROM base
+),
+tf2 AS (
+    SELECT doc_id, term,
+           CAST(SUM(CASE WHEN f = 'body' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+           CAST(SUM(CASE WHEN f = 'title' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1
+    FROM tok GROUP BY doc_id, term
+),
+tfw AS (
+    SELECT doc_id, term,
+           1.0 * CAST(tf_0 AS DOUBLE) + 2.0 * CAST(tf_1 AS DOUBLE) AS tfw
+    FROM tf2
+),
+dlw AS (
+    SELECT doc_id,
+           1.0 * CAST(len(list_filter(regexp_split_to_array(lower(body), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS DOUBLE)
+           + 2.0 * CAST(len(list_filter(regexp_split_to_array(lower(title), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS DOUBLE) AS dlw
+    FROM base
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dlw) AS avgdlw FROM dlw),
+dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tfw WHERE term IN ({_FLAGSHIP_LIST}) GROUP BY term
+),
+scores AS (
+    SELECT tfw.doc_id,
+           floor((SUM( ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                * (tfw.tfw * {K1 + 1.0}
+                   / (tfw.tfw + {K1} * (1.0 - {B} + {B} * dlw.dlw / stats.avgdlw))) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tfw
+    JOIN dfq ON tfw.term = dfq.term
+    JOIN dlw ON tfw.doc_id = dlw.doc_id
+    CROSS JOIN stats
+    GROUP BY tfw.doc_id
+)
+SELECT doc_id, score FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
 """

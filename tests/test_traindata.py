@@ -656,3 +656,55 @@ def test_regex_search_single_expansion_equals_plain_bm25(spark):
     got = [(r["doc_id"], r["score"]) for r in regex_search(docs, "jo.n", 10).collect()]
     want = [(r["doc_id"], r["score"]) for r in bm25_topk(docs, "join", 10).collect()]
     assert got == want
+
+
+def test_bm25f_equal_weights_reduce_to_plain_bm25(spark):
+    """With all field weights = 1.0 and fields that partition the
+    original text exactly (title+body == text, split at a tokenizer
+    boundary), BM25F degenerates to single-field BM25: same tfw, same
+    dlw, same idf, same scores."""
+    from semantic_pdf_search_engine_spark.operators.bm25 import (
+        bm25_topk,
+        bm25f_topk,
+    )
+
+    docs = _mini_docs(spark).withColumnRenamed("source", "src")
+    split = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN locate(' ', text) > 0 "
+            "THEN substring(text, 1, locate(' ', text)) ELSE text END"
+        ).alias("title"),
+        F.expr(
+            "CASE WHEN locate(' ', text) > 0 "
+            "THEN substring(text, locate(' ', text) + 1) ELSE '' END"
+        ).alias("body"),
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25f_topk(split, "join filter", {"title": 1.0, "body": 1.0}, 10).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"]) for r in bm25_topk(docs, "join filter", 10).collect()
+    ]
+    assert got == want
+
+
+def test_bm25f_title_boost_outranks_body_hit(spark):
+    """Two docs of identical token length, the query term once each —
+    in the title for one, the body for the other: the title doc must
+    score strictly higher under w_title > w_body."""
+    from semantic_pdf_search_engine_spark.operators.bm25 import bm25f_topk
+
+    rows = [
+        (1, "target word", "filler filler filler"),
+        (2, "other word", "target filler filler"),
+        (3, "other word", "filler filler filler"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    out = [
+        (r["doc_id"], r["score"])
+        for r in bm25f_topk(d, "target", {"title": 2.0, "body": 1.0}, 10).collect()
+    ]
+    assert [doc for doc, _ in out] == [1, 2]
+    assert out[0][1] > out[1][1]
