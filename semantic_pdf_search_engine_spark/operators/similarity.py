@@ -576,3 +576,100 @@ def knn_join_brute(
         rescored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """DISTRIBUTED spherical k-means (Lloyd's) over the FULL corpus —
+    the scale path train_ivf_centroids deliberately skips (IVF trains
+    on a bounded sample; corpus curation — SemDeDup-style cluster
+    dedup, diversity sampling, domain discovery — wants every vector
+    voting). Per iteration:
+
+      1. assignment: one Arrow-batched matmul per batch against the
+         BROADCAST (k x d) centroid matrix (same kernel shape as
+         ivf_assign) — embarrassingly parallel;
+      2. update: per-PARTITION partial (bucket, sum_vec, count) via
+         mapInPandas — at most P*k tiny rows collected (bounded by
+         partition count, never corpus size) — reduced driver-side in
+         numpy and re-normalized.
+
+    Driver state is O(k*d + P*k); corpus passes are `iters` scans of
+    the cached vectors. Init is deterministic (k lowest
+    crc32(id)-ranked vectors, the seeded-shuffle trick the IVF trainer
+    uses); ASSIGNMENT determinism is exact (argmax of exact dot
+    products with a doc-id-independent tie-break), while centroid
+    coordinates carry the usual float-sum partition-order variance —
+    tests therefore pin MEMBERSHIP, not coordinates, on separated
+    data. Empty clusters keep their previous centroid (standard
+    Lloyd's fallback)."""
+    import pandas as pd
+
+    x0 = (
+        emb.select(vec_col)
+        .orderBy(F.crc32(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    c = np.array([r[vec_col] for r in x0], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    base = emb.select(id_col, vec_col).persist()
+    try:
+        d = c.shape[1]
+        for _ in range(iters):
+            cc = c  # rebind: closure ships the CURRENT iteration's matrix
+
+            def _partials(batches, cc=cc, d=d):
+                sums = np.zeros((len(cc), d), dtype=np.float64)
+                counts = np.zeros(len(cc), dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                    x /= np.maximum(
+                        np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                    )
+                    assign = (x @ cc.T).argmax(axis=1)
+                    np.add.at(sums, assign, x)
+                    np.add.at(counts, assign, 1)
+                yield pd.DataFrame(
+                    {
+                        "bucket": range(len(cc)),
+                        "sum_vec": [s.tolist() for s in sums],
+                        "n": counts,
+                    }
+                )
+
+            partials = base.mapInPandas(
+                _partials, schema="bucket int, sum_vec array<double>, n long"
+            ).collect()
+            sums = np.zeros((k, d), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for r in partials:
+                sums[r["bucket"]] += np.array(r["sum_vec"])
+                counts[r["bucket"]] += r["n"]
+            nz = counts > 0
+            c = c.copy()
+            c[nz] = sums[nz] / counts[nz, None]
+            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    finally:
+        base.unpersist()
+    return c
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster): final hard assignment against fitted centroids —
+    the same broadcast-matmul kernel as ivf_assign, named for the
+    curation use (cluster column feeds dedup/sampling group-bys)."""
+    out = ivf_assign(emb.select(id_col, vec_col), centroids, vec_col)
+    return out.select(id_col, F.col("_ivf_bucket").alias("cluster"))

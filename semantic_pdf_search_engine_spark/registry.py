@@ -1776,6 +1776,29 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means over the embeddings table
+    (SemDeDup-style corpus organization; also the 100 TB path for IVF
+    coarse-quantizer training): iters scans, driver state O(k*d + P*k).
+    Rows-only by design — centroid coordinates carry float-sum
+    partition-order variance, so there is no byte-stable SQL twin;
+    membership determinism on separated data is pinned in
+    tests/test_similarity.py (blob recovery + partition invariance)."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return assign_clusters(emb, c)
+
+
 # alphabetical field order is pinned (operator sorts field names):
 # body carries weight 1.0, title 2.0 — a title hit counts double.
 BM25F_WEIGHTS = {"title": 2.0, "body": 1.0}
@@ -1829,6 +1852,7 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     # -- new in r5-prep (this round's tail work; front per invariant #1) -
+    "kmeans_clusters": q_kmeans_clusters,
     "bm25f_search": q_bm25f_search,
     "trending_terms": q_trending_terms,
     "regex_search": q_regex_search,

@@ -484,3 +484,78 @@ def test_ann_store_snapshot_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not found"):
         load_ann_index(spark, d, snapshot_id=99)
+
+
+def _blob_embeddings(spark, n_per=30, dim=8, seed=5):
+    """Three well-separated spherical blobs (axis-aligned means)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for b in range(3):
+        mean = np.zeros(dim)
+        mean[b] = 10.0
+        pts = mean + rng.normal(0, 0.05, size=(n_per, dim))
+        for i, p in enumerate(pts):
+            rows.append((b * n_per + i, [float(v) for v in p], b))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """Full-corpus distributed Lloyd's recovers well-separated blobs
+    exactly: every cluster is label-pure and all 3 labels appear."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    emb = _blob_embeddings(spark)
+    c = kmeans_fit(emb, k=3, iters=5)
+    got = assign_clusters(emb, c).join(emb.select("vec_id", "label"), "vec_id")
+    pairs = [(r["cluster"], r["label"]) for r in got.collect()]
+    by_cluster = {}
+    for cl, lb in pairs:
+        by_cluster.setdefault(cl, set()).add(lb)
+    assert len(by_cluster) == 3
+    assert all(len(v) == 1 for v in by_cluster.values()), by_cluster
+
+
+def test_kmeans_membership_partition_invariant(spark):
+    """Cluster MEMBERSHIP (co-assignment structure) is identical under
+    different input partitionings on separated data — the documented
+    determinism contract (centroid floats may differ in the last ulp;
+    assignments on separated blobs may not)."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    emb = _blob_embeddings(spark)
+
+    def memberships(df):
+        c = kmeans_fit(df, k=3, iters=4)
+        rows = assign_clusters(df, c).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["cluster"], set()).add(r["vec_id"])
+        return sorted(frozenset(g) for g in groups.values())
+
+    assert memberships(emb) == memberships(emb.repartition(13))
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k larger than the number of distinct points: surplus clusters
+    keep their (normalized) init centroid instead of NaN-ing out."""
+    import numpy as np
+
+    from semantic_pdf_search_engine_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    c = kmeans_fit(emb, k=3, iters=3)
+    assert c.shape == (3, 2)
+    assert np.isfinite(c).all()
+    norms = np.linalg.norm(c, axis=1)
+    assert np.allclose(norms, 1.0)
