@@ -842,3 +842,71 @@ def quality_classifier(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def significant_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    top_k: int = 5,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, term, focus_count, ref_count, g2, rank): Dunning-G²
+    keyness of every term in EVERY group vs the rest of the corpus in
+    ONE pass — Elasticsearch's significant_terms aggregation (the
+    grouped generalization of keyness_terms, which answers the same
+    question for a single focus slice). "What characterizes each
+    source/domain" is the corpus-curation view behind mixture and
+    filtering decisions.
+
+    Same pinned G² arithmetic as keyness_terms; all of a/b/ta/tb derive
+    from exact integer counts (b = term_total − a, tb = T − A_g as
+    INTEGER subtractions, cast to double at use), so the oracle twin is
+    byte-stable after rounding. Shuffles: one groupBy(group, term) over
+    the token stream (map-side combined), a term-grain and a
+    group-grain reduction of that aggregate (both far smaller than the
+    corpus), one join back on term, a per-group rank window — no
+    global sort, no per-group corpus passes."""
+    from pyspark.sql.window import Window
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    tagged = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    gcounts = tagged.groupBy("grp", "term").agg(
+        F.count("*").cast("long").alias("a")
+    )
+    tcounts = gcounts.groupBy("term").agg(F.sum("a").cast("long").alias("t"))
+    gtotals = gcounts.groupBy("grp").agg(F.sum("a").cast("long").alias("ta_i"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gtotals = gtotals.withColumn("tot_i", F.sum("ta_i").over(wall).cast("long"))
+
+    j = (
+        gcounts.join(tcounts, "term")
+        .join(F.broadcast(gtotals), "grp")
+        .withColumn("b_i", F.col("t") - F.col("a"))
+        .withColumn("tb_i", F.col("tot_i") - F.col("ta_i"))
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b_i").cast("double")
+    ta = F.col("ta_i").cast("double")
+    tb = F.col("tb_i").cast("double")
+    e1 = ta * (a + b) / (ta + tb)
+    e2 = tb * (a + b) / (ta + tb)
+    term_a = F.when(F.col("a") > 0, a * F.log(a / e1)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("b_i") > 0, b * F.log(b / e2)).otherwise(F.lit(0.0))
+    scored = j.filter(F.col("t") >= min_count).select(
+        F.col("grp").alias(group_col),
+        "term",
+        F.col("a").alias("focus_count"),
+        F.col("b_i").alias("ref_count"),
+        round_half_up(F.lit(2.0) * (term_a + term_b), 6).alias("g2"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("g2").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= top_k
+    )

@@ -1777,6 +1777,25 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+SIGTERMS_K = 3
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source significant terms (Elasticsearch significant_terms /
+    grouped Dunning-G² keyness, traindata.significant_terms): top-k
+    characterizing terms of EVERY source vs the rest in one corpus
+    pass. Hard oracle (same pinned integer-derived G² arithmetic as
+    keyness, grouped)."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        significant_terms,
+    )
+
+    return significant_terms(
+        _docs(spark, sf_dir), "source", top_k=SIGTERMS_K, min_count=PMI_MIN_COUNT
+    )
+
+
 KMEANS_K = 4
 KMEANS_ITERS = 3
 
@@ -1852,6 +1871,7 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     # -- new in r5-prep (this round's tail work; front per invariant #1) -
+    "significant_terms": q_significant_terms,
     "kmeans_clusters": q_kmeans_clusters,
     "bm25f_search": q_bm25f_search,
     "trending_terms": q_trending_terms,
@@ -3536,4 +3556,41 @@ scores AS (
 SELECT doc_id, score FROM scores
 ORDER BY score DESC, doc_id ASC
 LIMIT {DEFAULT_TOP_K}
+"""
+
+
+ORACLE_SQL["significant_terms"] = f"""
+WITH tagged AS (
+    SELECT source AS grp,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+gc AS (
+    SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS a
+    FROM tagged GROUP BY grp, term
+),
+tc AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t FROM gc GROUP BY term),
+gt AS (
+    SELECT grp, CAST(SUM(a) AS BIGINT) AS ta_i,
+           CAST(SUM(SUM(a)) OVER () AS BIGINT) AS tot_i
+    FROM gc GROUP BY grp
+),
+s AS (
+    SELECT gc.grp AS source, gc.term,
+           gc.a AS focus_count,
+           tc.t - gc.a AS ref_count,
+           floor((2.0 * (
+               (CASE WHEN gc.a > 0 THEN CAST(gc.a AS DOUBLE) * ln(CAST(gc.a AS DOUBLE) /
+                    (CAST(gt.ta_i AS DOUBLE) * (CAST(gc.a AS DOUBLE) + CAST(tc.t - gc.a AS DOUBLE)) / (CAST(gt.ta_i AS DOUBLE) + CAST(gt.tot_i - gt.ta_i AS DOUBLE)))) ELSE 0.0 END)
+             + (CASE WHEN tc.t - gc.a > 0 THEN CAST(tc.t - gc.a AS DOUBLE) * ln(CAST(tc.t - gc.a AS DOUBLE) /
+                    (CAST(gt.tot_i - gt.ta_i AS DOUBLE) * (CAST(gc.a AS DOUBLE) + CAST(tc.t - gc.a AS DOUBLE)) / (CAST(gt.ta_i AS DOUBLE) + CAST(gt.tot_i - gt.ta_i AS DOUBLE)))) ELSE 0.0 END)
+           )) * 1000000.0 + 0.5) / 1000000.0 AS g2
+    FROM gc JOIN tc USING (term) JOIN gt USING (grp)
+    WHERE tc.t >= {PMI_MIN_COUNT}
+)
+SELECT source, term, focus_count, ref_count, g2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY g2 DESC, term ASC) AS INT) AS rank
+FROM s
+QUALIFY rank <= {SIGTERMS_K}
 """

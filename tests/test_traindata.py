@@ -708,3 +708,30 @@ def test_bm25f_title_boost_outranks_body_hit(spark):
     ]
     assert [doc for doc, _ in out] == [1, 2]
     assert out[0][1] > out[1][1]
+
+
+def test_significant_terms_groupwise_known_value(spark):
+    """A term occurring ONLY in one group must top that group's ranking
+    (maximal G² among its terms); grouped output covers every group;
+    ref_count = corpus total minus the group's count."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        significant_terms,
+    )
+
+    rows = [
+        (0, "unicorn unicorn unicorn common common", "a"),
+        (1, "common common common", "a"),
+        (2, "common common common common", "b"),
+        (3, "dragon dragon common", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = significant_terms(docs, "source", top_k=2, min_count=1).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    assert set(by_group) == {"a", "b"}
+    top_a = min(by_group["a"], key=lambda r: r["rank"])
+    top_b = min(by_group["b"], key=lambda r: r["rank"])
+    assert top_a["term"] == "unicorn" and top_a["ref_count"] == 0
+    assert top_b["term"] == "dragon" and top_b["ref_count"] == 0
+    assert top_a["focus_count"] == 3 and top_b["focus_count"] == 2
