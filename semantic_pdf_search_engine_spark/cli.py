@@ -14,6 +14,9 @@ Usage (local or `spark-submit --py-files engine.zip cli.py ...`):
     python -m semantic_pdf_search_engine_spark.cli query-batch --index /path/index --queries qs.txt
     python -m semantic_pdf_search_engine_spark.cli knn-join --ann /path/ann \
         --queries q.parquet --variant lsh --out /path/out
+    python -m semantic_pdf_search_engine_spark.cli classify --input docs.parquet --out scored/
+    python -m semantic_pdf_search_engine_spark.cli cluster --input emb.parquet --out clusters/ --k 8
+    python -m semantic_pdf_search_engine_spark.cli mixture --input docs.parquet --alpha 0.7
 
 `build-index` resumes from the manifest by default (the durable version
 of the reference's ready-set polling, upload.rs:52-70 / ready.rs:13-23).
@@ -144,6 +147,31 @@ def main(argv: list[str] | None = None) -> int:
     nr.add_argument(
         "--input", default=None, help="documents parquet (on-the-fly, no index)"
     )
+
+    cl = sub.add_parser(
+        "classify",
+        help="train + apply the distilled quality classifier "
+        "(logistic GD over structural features, label = quality_verdict)",
+    )
+    cl.add_argument("--input", required=True, help="documents parquet")
+    cl.add_argument("--out", required=True, help="output parquet (doc_id, prob, pred)")
+    cl.add_argument("--iters", type=int, default=5)
+    cl.add_argument("--lr", type=float, default=1.0)
+
+    km = sub.add_parser(
+        "cluster", help="full-corpus distributed k-means over an embeddings table"
+    )
+    km.add_argument("--input", required=True, help="embeddings parquet (vec_id, embedding)")
+    km.add_argument("--out", required=True, help="output parquet (vec_id, cluster)")
+    km.add_argument("--k", type=int, default=8)
+    km.add_argument("--iters", type=int, default=5)
+
+    mx = sub.add_parser(
+        "mixture", help="temperature-scaled source mixing weights (JSON rows)"
+    )
+    mx.add_argument("--input", required=True, help="documents parquet with a source column")
+    mx.add_argument("--alpha", type=float, default=0.7)
+    mx.add_argument("--source-col", default="source")
 
     args = p.parse_args(argv)
 
@@ -369,6 +397,68 @@ def main(argv: list[str] | None = None) -> int:
             )
         for row in hits.orderBy("doc_id").collect():
             print(json.dumps(row.asDict()))
+    elif args.cmd == "classify":
+        from pyspark.sql import functions as F
+
+        from semantic_pdf_search_engine_spark.functions.quality import quality_verdict
+        from semantic_pdf_search_engine_spark.operators.traindata import (
+            quality_classifier,
+        )
+
+        docs = spark.read.parquet(args.input)
+        label = (quality_verdict(F.col("text")) == "pass").cast("int")
+        t0 = time.time()
+        out = quality_classifier(docs, label, iters=args.iters, lr=args.lr)
+        out.write.mode("overwrite").parquet(args.out)
+        kept = out.filter(F.col("pred") == 1).count()
+        n = out.count()
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "n_docs": n,
+                    "pred_keep": kept,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "cluster":
+        from pyspark.sql import functions as F
+
+        from semantic_pdf_search_engine_spark.operators.similarity import (
+            assign_clusters,
+            kmeans_fit,
+        )
+
+        emb = spark.read.parquet(args.input)
+        t0 = time.time()
+        c = kmeans_fit(emb, k=args.k, iters=args.iters)
+        out = assign_clusters(emb, c)
+        out.write.mode("overwrite").parquet(args.out)
+        sizes = {
+            int(r["cluster"]): r["n"]
+            for r in out.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "k": args.k,
+                    "cluster_sizes": sizes,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "mixture":
+        from semantic_pdf_search_engine_spark.operators.traindata import (
+            mixture_weights,
+        )
+
+        docs = spark.read.parquet(args.input)
+        for r in mixture_weights(
+            docs, alpha=args.alpha, source_col=args.source_col
+        ).collect():
+            print(json.dumps(r.asDict()))
     elif args.cmd == "bench":
         import statistics
 
