@@ -735,3 +735,38 @@ def test_significant_terms_groupwise_known_value(spark):
     assert top_a["term"] == "unicorn" and top_a["ref_count"] == 0
     assert top_b["term"] == "dragon" and top_b["ref_count"] == 0
     assert top_a["focus_count"] == 3 and top_b["focus_count"] == 2
+
+
+def test_cli_traindata_subcommands(spark, sf_dir, tmp_path, capsys):
+    """classify / cluster / mixture CLI paths run end-to-end in-process
+    (get_spark getOrCreate reuses the test session) and emit the
+    documented JSON shapes."""
+    import json
+
+    from semantic_pdf_search_engine_spark.cli import main
+
+    rc = main(["mixture", "--input", f"{sf_dir}/documents.parquet"])
+    assert rc in (0, None)
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+
+    rc = main(
+        ["classify", "--input", f"{sf_dir}/documents.parquet",
+         "--out", str(tmp_path / "clf"), "--iters", "2"]
+    )
+    assert rc in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] > 0 and 0 <= out["pred_keep"] <= out["n_docs"]
+    assert spark.read.parquet(str(tmp_path / "clf")).columns == [
+        "doc_id", "prob", "pred",
+    ]
+
+    rc = main(
+        ["cluster", "--input", f"{sf_dir}/embeddings.parquet",
+         "--out", str(tmp_path / "km"), "--k", "3", "--iters", "2"]
+    )
+    assert rc in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(out["cluster_sizes"].values()) == spark.read.parquet(
+        str(tmp_path / "km")
+    ).count()
