@@ -29,7 +29,7 @@ DuckDB agree byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from semantic_pdf_search_engine_spark.functions.quality import fingerprint
@@ -921,4 +921,42 @@ def dedup_clusters(
         id_col,
         "cluster_rep",
         (F.col(id_col) == F.col("cluster_rep")).cast("int").alias("keep"),
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+    method: str = "minlabel",
+) -> DataFrame:
+    """(doc_id, cluster_rep, canonical_id, keep): the QUALITY-AWARE
+    dedup decision — near-dup pairs transitively closed into clusters
+    (same components machinery as dedup_clusters), then each cluster
+    keeps its HIGHEST-QUALITY member instead of the arbitrary min id:
+    crawl mirrors of one page differ in boilerplate stripping, and
+    curation wants the cleanest copy kept and every duplicate remapped
+    to it (canonical_id). `quality` is any deterministic Column (the
+    registry feeds the pinned quality_score); ties break to the lowest
+    id so the decision is total. Cost over dedup_clusters: one join of
+    the cluster table to per-doc quality + per-cluster rank/first
+    windows (cluster-bounded state, no global sort)."""
+    from pyspark.sql.window import Window
+
+    if method == "star":
+        cc = connected_components_star(docs.select(id_col), pairs, id_col)
+    else:
+        cc = connected_components(docs.select(id_col), pairs, id_col)
+    q = docs.select(F.col(id_col), quality.alias("_q"))
+    j = cc.join(q, id_col)
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return j.select(
+        id_col,
+        "cluster_rep",
+        F.first(id_col).over(wall).alias("canonical_id"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )

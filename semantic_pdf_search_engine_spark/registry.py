@@ -1778,6 +1778,27 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decision (dedup.dedup_keep_best): the
+    simhash near-dup clusters of dedup_clusters, but each cluster keeps
+    its highest-quality_score member (ties to lowest id) and every
+    duplicate carries canonical_id for reference remapping. Hard
+    oracle: the dedup_clusters recursive-closure SQL reused verbatim as
+    the cluster CTE, then the same rank/first windows over the pinned
+    quality score."""
+    from semantic_pdf_search_engine_spark.functions.quality import quality_score
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        dedup_keep_best,
+        simhash_neardup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _PAIR_BOUND)
+    return dedup_keep_best(
+        docs, simhash_neardup_pairs(docs), quality_score(F.col("text"))
+    )
+
+
 SIGTERMS_K = 3
 
 
@@ -1871,6 +1892,7 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     # -- new in r5-prep (this round's tail work; front per invariant #1) -
+    "dedup_keep_best": q_dedup_keep_best,
     "significant_terms": q_significant_terms,
     "kmeans_clusters": q_kmeans_clusters,
     "bm25f_search": q_bm25f_search,
@@ -3593,4 +3615,45 @@ SELECT source, term, focus_count, ref_count, g2,
        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY g2 DESC, term ASC) AS INT) AS rank
 FROM s
 QUALIFY rank <= {SIGTERMS_K}
+"""
+
+
+# dedup_keep_best oracle: the dedup_clusters closure SQL reused
+# VERBATIM up to its final aggregate (same string-surgery contract as
+# dedup_clusters itself uses on the simhash pair SQL — the two queries'
+# cluster definitions cannot drift), then per-cluster quality windows.
+_DKB_SQL = ORACLE_SQL["dedup_clusters"].strip()
+_DKB_PREFIX, _DKB_FINAL = _DKB_SQL.rsplit("SELECT node AS doc_id", 1)
+assert "GROUP BY node" in _DKB_FINAL
+ORACLE_SQL["dedup_keep_best"] = f"""{_DKB_PREFIX}
+SELECT doc_id, cluster_rep,
+       FIRST_VALUE(doc_id) OVER (
+           PARTITION BY cluster_rep ORDER BY qv DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS canonical_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY cluster_rep ORDER BY qv DESC, doc_id ASC
+       ) = 1 AS INT) AS keep
+FROM (
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_rep
+    FROM reach GROUP BY node
+) cl
+JOIN (
+    SELECT doc_id,
+           floor((LEAST(1.0, CAST(len(qtoks) AS DOUBLE) / 100.0) * 0.5
+                  + {_QF_ALPHA} * 0.3
+                  + LEAST(qsr * 4.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS qv
+    FROM (
+        SELECT doc_id, text, qtoks,
+               CASE WHEN len(qtoks) > 0
+                    THEN CAST(len(list_filter(qtoks, x -> list_contains([{_STOP_LIST}], x))) AS DOUBLE) / len(qtoks)
+                    ELSE 0.0 END AS qsr
+        FROM (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                               x -> x <> '') AS qtoks
+            FROM documents WHERE doc_id < {_PAIR_BOUND}
+        )
+    )
+) q USING (doc_id)
 """

@@ -772,3 +772,28 @@ def test_connected_components_star_string_ids(spark):
         for r in connected_components(ids, pairs, max_iter=1).collect()
     }
     assert got_fb == want
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """In a 2-doc near-dup cluster where the HIGHER id has the higher
+    quality, keep-best lands on it (min-id dedup_clusters would pick
+    the other); duplicates carry its id as canonical_id; singletons
+    keep themselves."""
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (1, "short text"),
+        (2, "this is a much longer and cleaner duplicate of the page "
+            "with the same content and plenty of words in it"),
+        (3, "an unrelated singleton document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    quality = F.length("text").cast("double")  # proxy: longer = better
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs, quality).collect()}
+    assert out[2]["keep"] == 1 and out[1]["keep"] == 0
+    assert out[1]["canonical_id"] == 2 and out[2]["canonical_id"] == 2
+    assert out[1]["cluster_rep"] == out[2]["cluster_rep"] == 1  # label stays min-id
+    assert out[3]["keep"] == 1 and out[3]["canonical_id"] == 3
