@@ -230,35 +230,55 @@ def boolean_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_scores: bool = True,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Boolean retrieval with BM25 ranking: candidates must contain
-    EVERY `must` term and NO `must_not` term; ranking scores must +
-    should terms under the pinned BM25 (global stats). The classic
-    engine query shape BM25 top-k alone can't express — bm25_topk is
-    disjunctive (any query term qualifies a doc).
+    EVERY `must` term, NO `must_not` term, and — when
+    `min_should_match` > 0, the Elasticsearch bool-query knob — at
+    least that many DISTINCT `should` terms (which also makes a
+    pure-should query well-defined: must=[] + min_should_match>=1 is
+    "match at least m of these"). Ranking scores must + should terms
+    under the pinned BM25 (global stats). The classic engine query
+    shape BM25 top-k alone can't express — bm25_topk is disjunctive
+    (any query term qualifies a doc).
 
-    Plan: the conjunctive set is one groupBy over tf rows filtered to
-    the must terms (a doc qualifies iff its distinct-must-term count
-    equals |must| — tf is unique per (doc, term), so a plain count);
-    the negated set is a left_anti join; both are id-sets fed to
-    bm25_topk's scope_ids (left_semi into the scoring join, stats
-    untouched). On the compressed index the same sets come from
-    decoding only the must/must_not terms' postings — the relational
-    form here is the oracle-parity spec, consistent with bm25_topk."""
+    Plan: every candidate set is one groupBy over tf rows filtered to
+    the relevant term list (tf is unique per (doc, term), so a plain
+    count IS the distinct-term count: == |must| for the conjunctive
+    set, >= min_should_match for the should quorum); the negated set
+    is a left_anti join; all are id-sets fed to bm25_topk's scope_ids
+    (left_semi into the scoring join, stats untouched). On the
+    compressed index the same sets come from decoding only those
+    terms' postings — the relational form here is the oracle-parity
+    spec, consistent with bm25_topk."""
     must_terms = sorted({t for w in must for t in tokenize_py(w)})
-    if not must_terms:
-        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
     should_terms = sorted({t for w in (should or []) for t in tokenize_py(w)})
     not_terms = sorted({t for w in (must_not or []) for t in tokenize_py(w)})
+    quorum = bool(should_terms) and min_should_match > 0
+    if not must_terms and not quorum:
+        # no positive clause constrains the candidate set — refuse
+        # rather than scan everything (ES rejects this shape too)
+        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
 
     tf = tf_df(docs, id_col, text_col)
-    cand = (
-        tf.filter(F.col("term").isin(must_terms))
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_m"))
-        .filter(F.col("_m") == len(must_terms))
-        .select(id_col)
-    )
+    cand = None
+    if must_terms:
+        cand = (
+            tf.filter(F.col("term").isin(must_terms))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("_m"))
+            .filter(F.col("_m") == len(must_terms))
+            .select(id_col)
+        )
+    if quorum:
+        sh = (
+            tf.filter(F.col("term").isin(should_terms))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("_s"))
+            .filter(F.col("_s") >= min_should_match)
+            .select(id_col)
+        )
+        cand = sh if cand is None else cand.join(sh, id_col, "left_semi")
     if not_terms:
         excl = tf.filter(F.col("term").isin(not_terms)).select(id_col).distinct()
         cand = cand.join(excl, id_col, "left_anti")

@@ -1779,6 +1779,28 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+BOOL_MSM_SHOULD = ["filter", "scan", "window"]
+BOOL_MSM = 2
+
+
+def q_boolean_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quorum boolean retrieval (the Elasticsearch minimum_should_match
+    knob): docs matching at least 2 of 3 should terms, none negated,
+    BM25-ranked over the should set with global stats — the
+    "match-most-of-these" shape between pure AND and pure OR. Hard
+    oracle (HAVING COUNT(*) >= m candidate subquery)."""
+    from semantic_pdf_search_engine_spark.operators.bm25 import boolean_search
+
+    return boolean_search(
+        _docs(spark, sf_dir),
+        must=[],
+        should=BOOL_MSM_SHOULD,
+        must_not=BOOL_MUST_NOT,
+        min_should_match=BOOL_MSM,
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup decision (dedup.dedup_keep_best): the
     simhash near-dup clusters of dedup_clusters, but each cluster keeps
@@ -1892,6 +1914,7 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     # -- new in r5-prep (this round's tail work; front per invariant #1) -
+    "boolean_msm": q_boolean_msm,
     "dedup_keep_best": q_dedup_keep_best,
     "significant_terms": q_significant_terms,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3656,4 +3679,34 @@ JOIN (
         )
     )
 ) q USING (doc_id)
+"""
+
+
+ORACLE_SQL["boolean_msm"] = f"""
+WITH {_TF_CTE},
+q AS (SELECT unnest([{", ".join(f"'{t}'" for t in sorted(BOOL_MSM_SHOULD))}]) AS term),
+scoped AS (
+    SELECT doc_id FROM tf
+    WHERE term IN ({", ".join(f"'{t}'" for t in sorted(BOOL_MSM_SHOULD))})
+    GROUP BY doc_id HAVING COUNT(*) >= {BOOL_MSM}
+),
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({", ".join(f"'{t}'" for t in sorted(BOOL_MUST_NOT))})),
+scores AS (
+    SELECT tf.doc_id,
+           floor((SUM( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM tf
+    JOIN q USING (term)
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN scoped ON tf.doc_id = scoped.doc_id
+    CROSS JOIN stats
+    WHERE tf.doc_id NOT IN (SELECT doc_id FROM neg)
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {DEFAULT_TOP_K}
 """

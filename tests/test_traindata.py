@@ -770,3 +770,37 @@ def test_cli_traindata_subcommands(spark, sf_dir, tmp_path, capsys):
     assert sum(out["cluster_sizes"].values()) == spark.read.parquet(
         str(tmp_path / "km")
     ).count()
+
+
+def test_boolean_min_should_match_quorum(spark):
+    """msm=2 over 3 should terms admits exactly the docs matching >=2
+    distinct terms; msm=0 with empty must refuses (no positive
+    clause); quorum docs are BM25-ranked over the should set."""
+    from semantic_pdf_search_engine_spark.operators.bm25 import boolean_search
+
+    rows = [
+        (1, "join filter window extras"),   # 3 of 3
+        (2, "join filter other words"),     # 2 of 3
+        (3, "join only here"),              # 1 of 3 -> excluded
+        (4, "nothing relevant at all"),     # 0 of 3 -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in boolean_search(
+            docs, must=[], should=["join", "filter", "window"],
+            min_should_match=2,
+        ).collect()
+    }
+    assert got == {1, 2}
+    # no positive clause -> empty result, not a full scan
+    assert boolean_search(docs, must=[], should=["join"]).count() == 0
+    # msm composes with must: must=join AND >=1 of {filter, window}
+    got2 = {
+        r["doc_id"]
+        for r in boolean_search(
+            docs, must=["join"], should=["filter", "window"],
+            min_should_match=1,
+        ).collect()
+    }
+    assert got2 == {1, 2}
