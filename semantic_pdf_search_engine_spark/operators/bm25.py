@@ -372,6 +372,31 @@ def more_like_this(
     )
 
 
+def _expanded_term_topk(
+    docs: DataFrame,
+    term_filter,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared tail of the vocabulary-expansion retrievals (wildcard,
+    regex): filter the VOCAB-sized docfreq by `term_filter` (a Column
+    predicate over `term`), ride the shared broadcast scoring tail,
+    rank. One definition so the two expansion flavors cannot drift."""
+    tf = tf_df(docs, id_col, text_col)
+    dl = dl_df(docs, id_col, text_col)
+    dfreq_q = docfreq_df(tf, id_col).filter(term_filter)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return (
+        score_over_terms(tf, dl, dfreq_q, stats, id_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def wildcard_search(
     docs: DataFrame,
     prefix: str,
@@ -389,17 +414,8 @@ def wildcard_search(
     bounded by |vocab with that prefix|, not corpus size."""
     if not prefix:
         return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
-    dfreq_q = docfreq_df(tf, id_col).filter(F.col("term").startswith(prefix))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    return (
-        score_over_terms(tf, dl, dfreq_q, stats, id_col)
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
+    return _expanded_term_topk(
+        docs, F.col("term").startswith(prefix), k, id_col, text_col
     )
 
 
@@ -478,14 +494,11 @@ def bm25f_topk(
         .agg(F.count("*").cast("long").alias("df"))
         .filter(F.col("term").isin(q_terms))
     )
-    contrib = idf_expr(F.col("n_docs"), F.col("df").cast("double")) * (
-        F.col("tfw")
-        * F.lit(K1 + 1.0)
-        / (
-            F.col("tfw")
-            + F.lit(K1)
-            * (F.lit(1.0 - B) + F.lit(B) * F.col("dlw") / F.col("avgdlw"))
-        )
+    contrib = bm25_contrib_expr(
+        F.col("tfw"),
+        F.col("dlw"),
+        F.col("avgdlw"),
+        idf_expr(F.col("n_docs"), F.col("df").cast("double")),
     )
     return (
         tfw.join(F.broadcast(dfreq_q), "term")
@@ -519,21 +532,10 @@ def regex_search(
     regex evaluation per vocab term, zero extra corpus passes."""
     if not pattern:
         return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
     # anchor both ends: term-level regex semantics (Lucene RegexpQuery
     # matches the WHOLE term; DuckDB twin uses regexp_full_match)
-    dfreq_q = docfreq_df(tf, id_col).filter(
-        F.col("term").rlike(f"^(?:{pattern})$")
-    )
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    return (
-        score_over_terms(tf, dl, dfreq_q, stats, id_col)
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
+    return _expanded_term_topk(
+        docs, F.col("term").rlike(f"^(?:{pattern})$"), k, id_col, text_col
     )
 
 

@@ -616,6 +616,12 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    if not x0:
+        raise ValueError("kmeans_fit: embeddings table is empty")
+    # fewer rows than k: fit the clusters the data can support — the
+    # driver-side sums/counts below are sized from the ACTUAL centroid
+    # count, so a short init cannot misalign the masks
+    k = len(x0)
     c = np.array([r[vec_col] for r in x0], dtype=np.float64)
     c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     base = emb.select(id_col, vec_col).persist()

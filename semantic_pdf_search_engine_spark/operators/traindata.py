@@ -673,12 +673,18 @@ def mixture_weights(
     pow_sum = F.sum(F.pow(ntd, F.lit(alpha))).over(wall)
     tok_sum = F.sum("n_tokens").over(wall).cast("double")
     w = F.pow(ntd, F.lit(alpha)) / pow_sum
+    # a zero-token source samples at rate 0 and is visited 0 times —
+    # without the guard epochs would be 0.0/0.0 = NaN (and json.dumps
+    # of the CLI row would emit invalid JSON)
+    epochs = F.when(F.col("n_tokens") > 0, w * tok_sum / ntd).otherwise(
+        F.lit(0.0)
+    )
     return per_source.select(
         source_col,
         "n_docs",
         "n_tokens",
         round_half_up(w, 6).alias("weight"),
-        round_half_up(w * tok_sum / ntd, 6).alias("epochs"),
+        round_half_up(epochs, 6).alias("epochs"),
     )
 
 

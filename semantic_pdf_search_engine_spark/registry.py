@@ -1908,7 +1908,12 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .withColumn("window_end", F.col("window_start"))
     )
-    return trending_terms(counts, k=TREND_K).drop("window_end")
+    prev_day = F.date_format(
+        F.date_sub(F.to_date("window_start"), 1), "yyyy-MM-dd"
+    )
+    return trending_terms(counts, k=TREND_K, prev_window_expr=prev_day).drop(
+        "window_end"
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3423,8 +3428,10 @@ tot AS (
 SELECT source, n_docs, n_tokens,
        floor((pow(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / pow_sum)
              * 1000000.0 + 0.5) / 1000000.0 AS weight,
-       floor((pow(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / pow_sum * tok_sum
-              / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS epochs
+       floor((CASE WHEN n_tokens > 0
+                   THEN pow(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / pow_sum * tok_sum
+                        / CAST(n_tokens AS DOUBLE)
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS epochs
 FROM tot
 """
 
@@ -3528,7 +3535,11 @@ WITH c AS (
 s AS (
     SELECT window_start, term, n,
            floor((CAST(n AS DOUBLE)
-                  / (1.0 + CAST(COALESCE(LAG(n) OVER (PARTITION BY term ORDER BY window_start), 0) AS DOUBLE)))
+                  / (1.0 + CAST(COALESCE(
+                        CASE WHEN LAG(window_start) OVER (PARTITION BY term ORDER BY window_start)
+                                  = strftime(CAST(window_start AS DATE) - 1, '%Y-%m-%d')
+                             THEN LAG(n) OVER (PARTITION BY term ORDER BY window_start)
+                             END, 0) AS DOUBLE)))
                  * 1000000.0 + 0.5) / 1000000.0 AS rising
     FROM c
 )

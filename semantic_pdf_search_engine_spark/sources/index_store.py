@@ -313,6 +313,7 @@ class InvertedIndex:
     postings_files: list[str] | None = None
     docfreq_files: list[str] | None = None
     docs_files: list[str] | None = None
+    tf_files: list[str] | None = None
 
     _postings_cached: DataFrame | None = None
     _docfreq_cached: DataFrame | None = None
@@ -406,7 +407,13 @@ class InvertedIndex:
     def tf(self) -> DataFrame:
         """(doc_id, term, tf, dl) — the stage-2 table the build keeps
         for merges/compaction; also the term-vectors serving surface
-        (per-doc term statistics without re-tokenizing the corpus)."""
+        (per-doc term statistics without re-tokenizing the corpus).
+        On a snapshot handle this resolves to the snapshot's exact
+        file list (same contract as postings/docfreq/docs): appends
+        after the snapshot are invisible, and a compaction's dir swap
+        cannot break the handle."""
+        if self.tf_files is not None:
+            return self.spark.read.parquet(*self.tf_files)
         return self.spark.read.parquet(f"{self.index_dir}/{self.tf_rel}")
 
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
@@ -479,9 +486,13 @@ def load_index(
         postings_rel=p.get("postings_rel", "postings"),
         docfreq_rel=p.get("docfreq_rel", "docfreq"),
         docs_rel=p.get("docs_rel", "docs"),
+        tf_rel=p.get("tf_rel", "tf"),
         postings_files=s["tables"]["postings"],
         docfreq_files=s["tables"]["docfreq"],
         docs_files=s["tables"]["docs"],
+        # pre-tf-snapshot manifests may record no tf files; fall back
+        # to the live path rather than an empty (unreadable) list
+        tf_files=s["tables"].get("tf") or None,
     )
 
 
@@ -669,6 +680,7 @@ def build_index(
         postings_rel=postings_rel,
         docfreq_rel=docfreq_rel,
         docs_rel=docs_rel,
+        tf_rel=tf_rel,
     )
 
 
@@ -802,6 +814,7 @@ def append_to_index(
         postings_rel=postings_rel,
         docfreq_rel=new_docfreq_rel,
         docs_rel=docs_rel,
+        tf_rel=tf_rel,
     )
 
 

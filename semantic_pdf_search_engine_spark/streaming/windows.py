@@ -183,7 +183,10 @@ def windowed_term_counts(
 
 
 def trending_terms(
-    counts: DataFrame, k: int = 10, round_decimals: int = 6
+    counts: DataFrame,
+    k: int = 10,
+    round_decimals: int = 6,
+    prev_window_expr=None,
 ) -> DataFrame:
     """Per-window top-k RISING terms over finalized (window_start,
     window_end, term, n) counts — the batch post-pass a monitoring
@@ -191,17 +194,33 @@ def trending_terms(
     appended, so the lag join never sees a partial window).
 
     rising = n / (1 + prev_n): add-one-smoothed ratio vs the SAME
-    term's previous window (a term absent last window trends at its
-    full count). Both windows are per-term (lag) or per-window (rank)
-    partitions — bounded state, no global sort. Deterministic
-    tie-break (rising DESC, n DESC, term ASC) so the top-k is unique
-    and oracle-checkable."""
+    term's IMMEDIATELY PRECEDING window. The counts frame only holds
+    rows for windows where a term occurred, so a bare lag() would
+    reach back to the term's most recent appearance — a term gone for
+    20 windows would be compared against its count from 20 windows
+    ago, deflating exactly the returning-term spike this operator
+    exists to surface. `prev_window_expr` (a Column computing the
+    EXPECTED previous window_start for a row, e.g. `window_start -
+    INTERVAL 1 HOUR` for hourly tumbling windows) fixes that: the
+    lagged count only counts as "previous" when the lagged row's
+    window_start equals it, else prev_n = 0 (absent last window →
+    trends at full count). Without it (None) the raw lag semantics
+    apply — only correct when every term occurs in every window.
+
+    Both windows are per-term (lag) or per-window (rank) partitions —
+    bounded state, no global sort. Deterministic tie-break (rising
+    DESC, n DESC, term ASC) so the top-k is unique and
+    oracle-checkable."""
     from pyspark.sql.window import Window
 
     from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
 
     lag = Window.partitionBy("term").orderBy("window_start")
     prev = F.lag("n").over(lag)
+    if prev_window_expr is not None:
+        prev = F.when(
+            F.lag("window_start").over(lag) == prev_window_expr, prev
+        )
     scored = counts.withColumn(
         "rising",
         round_half_up(

@@ -437,3 +437,36 @@ def test_snapshot_empty_table_list_rejected_at_load(spark, corpora, tmp_path):
     m.save()
     with pytest.raises(ValueError, match="records no files"):
         load_index(spark, d, snapshot_id=0)
+
+
+def test_snapshot_tf_pinned_and_survives_compaction(spark, corpora, tmp_path):
+    """The tf table obeys the same snapshot contract as
+    postings/docfreq/docs: a snapshot handle's .tf excludes rows
+    appended afterwards, and still reads after compact_docs_tf swaps
+    (and deletes) the live tf dir out from under the old rel."""
+    from semantic_pdf_search_engine_spark.sources.index_store import (
+        Manifest,
+        compact_docs_tf,
+    )
+
+    full, a, b = corpora
+    d = str(tmp_path / "tfsnap")
+    build_index(spark, a, d)  # snapshot 0
+    n_tf_a = load_index(spark, d).tf.count()
+
+    append_to_index(spark, b, d)  # snapshot 1 adds b's tf rows
+    snap0 = load_index(spark, d, snapshot_id=0)
+    assert snap0.tf.count() == n_tf_a  # post-snapshot appends invisible
+    assert load_index(spark, d).tf.count() > n_tf_a
+
+    compact_docs_tf(spark, d)  # swaps tf_rel to a versioned dir
+    m = Manifest(d)
+    assert m.data["params"]["tf_rel"] != "tf"
+    # current handle resolves through the NEW rel
+    cur = load_index(spark, d)
+    assert cur.tf_rel == m.data["params"]["tf_rel"]
+    assert cur.tf.count() > n_tf_a
+    # the snapshot handle still reads its pinned file list even though
+    # the live pointer moved (and rows stay the pre-append set)
+    snap0b = load_index(spark, d, snapshot_id=0)
+    assert snap0b.tf.count() == n_tf_a

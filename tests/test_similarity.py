@@ -559,3 +559,22 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert np.isfinite(c).all()
     norms = np.linalg.norm(c, axis=1)
     assert np.allclose(norms, 1.0)
+
+
+def test_kmeans_k_exceeds_rows_clamps(spark):
+    """k larger than the table: fit clamps to the available rows
+    instead of misaligning the driver-side reduction masks; empty
+    table raises a clear error."""
+    import numpy as np
+    import pytest
+
+    from semantic_pdf_search_engine_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [float(i), 1.0], 0) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    c = kmeans_fit(emb, k=8, iters=2)
+    assert c.shape[0] == 3 and np.isfinite(c).all()
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, k=2)

@@ -531,10 +531,23 @@ def test_streaming_trending_terms(spark, tmp_path):
     }
     assert hour10 == {"steady": 3, "spike": 1}, hour10
 
-    ranked = trending_terms(counts, k=2).filter(
+    prev_hour = F.col("window_start") - F.expr("INTERVAL 1 HOUR")
+    ranked = trending_terms(counts, k=2, prev_window_expr=prev_hour).filter(
         F.hour("window_start") == 12
     ).collect()
     by_term = {r["term"]: r for r in ranked}
-    # hour-12: spike rising 3.0 beats steady rising 0.75
-    assert by_term["spike"]["rank"] == 1 and by_term["spike"]["rising"] == 3.0
-    assert by_term["steady"]["rank"] == 2 and by_term["steady"]["rising"] == 0.75
+    # hour 11 has no rows, so BOTH terms were absent in the immediately
+    # preceding window: prev_n = 0 for each (gap-aware lag — a bare
+    # lag() would have reached back to hour 10 and deflated the
+    # returning terms), rising = n / 1
+    assert by_term["spike"]["rank"] == 1 and by_term["spike"]["rising"] == 6.0
+    assert by_term["steady"]["rank"] == 2 and by_term["steady"]["rising"] == 3.0
+    # raw-lag mode (no prev_window_expr): documented every-window-dense
+    # semantics — hour-10 counts become the baseline across the gap
+    raw = {
+        r["term"]: r["rising"]
+        for r in trending_terms(counts, k=2)
+        .filter(F.hour("window_start") == 12)
+        .collect()
+    }
+    assert raw["spike"] == 3.0 and raw["steady"] == 0.75

@@ -804,3 +804,25 @@ def test_boolean_min_should_match_quorum(spark):
         ).collect()
     }
     assert got2 == {1, 2}
+
+
+def test_mixture_weights_zero_token_source_no_nan(spark):
+    """A source whose docs all tokenize to nothing gets weight 0 and
+    epochs 0 (not NaN — the CLI emits these rows as JSON)."""
+    import math
+
+    from semantic_pdf_search_engine_spark.operators.traindata import mixture_weights
+
+    rows = [
+        (0, "real words here", "a"),
+        (1, "more real words", "a"),
+        (2, "...", "z"),  # tokenizes to zero tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in mixture_weights(docs, alpha=0.5).collect()}
+    assert out["z"]["n_tokens"] == 0
+    assert out["z"]["weight"] == 0.0 and out["z"]["epochs"] == 0.0
+    assert not any(
+        math.isnan(v) for r in out.values() for v in (r["weight"], r["epochs"])
+    )
+    assert out["a"]["weight"] == 1.0  # only token-bearing source
