@@ -372,6 +372,36 @@ def more_like_this(
     )
 
 
+def search_histogram(
+    docs: DataFrame,
+    query: str,
+    field_col: str,
+    width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(bin, n_hits, best_score): fixed-width histogram of a numeric
+    field over the BM25 CANDIDATE set — Elasticsearch's `histogram`
+    aggregation on hits (the length/size distribution sidebar next to
+    search_facets' categorical one). bin = floor(field / width) *
+    width; one extra groupBy on the bin key after the score agg, and
+    best_score aggregates the already-rounded per-doc scores so every
+    bar is exactly reproducible from the ranked results."""
+    scored = bm25_scores(docs, query, id_col, text_col)
+    bin_expr = (
+        F.floor(F.col(field_col).cast("double") / F.lit(float(width)))
+        * F.lit(width)
+    ).cast("long")
+    return (
+        scored.join(docs.select(id_col, field_col), id_col)
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.max("score").alias("best_score"),
+        )
+    )
+
+
 def _expanded_term_topk(
     docs: DataFrame,
     term_filter,

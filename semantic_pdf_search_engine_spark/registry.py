@@ -1780,6 +1780,23 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+HIST_WIDTH = 200
+
+
+def q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram over the flagship query's candidate set
+    (Elasticsearch histogram aggregation on hits): n_chars bucketed at
+    width 200, per-bin hit count + best (already-rounded) score — the
+    size-distribution sidebar next to search_facets' categorical one.
+    Hard oracle (floor-division bin twin)."""
+    from semantic_pdf_search_engine_spark.operators.bm25 import search_histogram
+
+    return search_histogram(
+        _docs(spark, sf_dir), FLAGSHIP_QUERY, "n_chars", HIST_WIDTH
+    )
+
+
 BOOL_MSM_SHOULD = ["filter", "scan", "window"]
 BOOL_MSM = 2
 
@@ -1919,6 +1936,7 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     # -- new in r5-prep (this round's tail work; front per invariant #1) -
+    "search_histogram": q_search_histogram,
     "boolean_msm": q_boolean_msm,
     "dedup_keep_best": q_dedup_keep_best,
     "significant_terms": q_significant_terms,
@@ -3720,4 +3738,14 @@ scores AS (
 SELECT doc_id, score FROM scores
 ORDER BY score DESC, doc_id ASC
 LIMIT {DEFAULT_TOP_K}
+"""
+
+
+ORACLE_SQL["search_histogram"] = f"""
+WITH {_SCORES_CTE}
+SELECT CAST(floor(CAST(d.n_chars AS DOUBLE) / {HIST_WIDTH}.0) * {HIST_WIDTH} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       MAX(s.score) AS best_score
+FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY 1
 """
