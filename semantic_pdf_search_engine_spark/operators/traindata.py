@@ -916,3 +916,107 @@ def significant_terms(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= top_k
     )
+
+
+def select_by_budget(
+    docs: DataFrame,
+    token_budget: int,
+    quality: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, quality, cum_tokens, keep): budget-
+    constrained corpus selection — greedily keep the highest-quality
+    documents until the token budget is exhausted (the data-selection
+    step of budgeted pretraining runs: you can afford N tokens, take
+    the best N). keep = 1 iff the doc's tokens still FIT entirely
+    (cum_tokens ≤ budget in (quality DESC, id ASC) order); the first
+    straddling document is dropped, deterministically.
+
+    The global running token total in quality order reuses shard_plan's
+    two-phase prefix sum (range-repartition on the sort key,
+    per-partition token sums, driver prefix offsets, one narrow Arrow
+    pass) — no single-partition window sort at any size. `quality`
+    must be a deterministic Column rounded to a fixed grain (the
+    registry feeds the pinned quality_score) so the sort order — and
+    therefore the kept set — is identical across engines."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
+
+    spark = docs.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    d = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            F.size(tokens_expr(F.col(text_col))).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
+        quality.cast("double").alias("_q"),
+    )
+    ordered = (
+        d.repartitionByRange(num_partitions, F.col("_q").desc(), F.col(id_col).asc())
+        .sortWithinPartitions(F.col("_q").desc(), F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ordered.persist()
+    try:
+        sums = {
+            r["_pid"]: r["s"]
+            for r in ordered.groupBy("_pid")
+            .agg(F.sum("n_tokens").alias("s"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += int(sums[pid])
+
+        out_schema = StructType(
+            [
+                StructField(id_col, d.schema[id_col].dataType, False),
+                StructField("n_tokens", LongType(), False),
+                StructField("quality", DoubleType(), True),
+                StructField("cum_tokens", LongType(), False),
+                StructField("keep", IntegerType(), False),
+            ]
+        )
+        budget = int(token_budget)
+
+        def add_keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            local = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                off = offsets[int(pdf["_pid"].iloc[0])]
+                n = pdf["n_tokens"].to_numpy()
+                cum = off + local + np.cumsum(n)
+                local += int(n.sum())
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "n_tokens": n,
+                        "quality": pdf["_q"].to_numpy(),
+                        "cum_tokens": cum,
+                        "keep": (cum <= budget).astype("int32"),
+                    }
+                )
+
+        # localCheckpoint cuts lineage while the parent is pinned (same
+        # contract as shard_plan — recompute against captured offsets
+        # would be unsound)
+        return ordered.mapInPandas(add_keep, schema=out_schema).localCheckpoint()
+    finally:
+        ordered.unpersist()

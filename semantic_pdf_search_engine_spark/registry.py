@@ -1781,6 +1781,28 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+BUDGET_TOKENS = 15_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection (traindata.select_by_budget):
+    greedily keep the highest-quality_score docs until BUDGET_TOKENS is
+    spent — the "you can afford N tokens, take the best N" step of
+    budgeted pretraining. Global greedy order via shard_plan's
+    two-phase prefix sum (no single-partition sort). Hard oracle (the
+    textbook running-SUM window spec, exactly the equality the driver
+    already checks for shard_plan)."""
+    from semantic_pdf_search_engine_spark.functions.quality import quality_score
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        select_by_budget,
+    )
+
+    return select_by_budget(
+        _docs(spark, sf_dir), BUDGET_TOKENS, quality_score(F.col("text"))
+    )
+
+
 HIST_WIDTH = 200
 
 
@@ -1936,6 +1958,7 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (front per ROTATION.md invariant #1) -----------------
     # -- new in r5-prep (this round's tail work; front per invariant #1) -
+    "budget_select": q_budget_select,
     "search_histogram": q_search_histogram,
     "boolean_msm": q_boolean_msm,
     "dedup_keep_best": q_dedup_keep_best,
@@ -3748,4 +3771,33 @@ SELECT CAST(floor(CAST(d.n_chars AS DOUBLE) / {HIST_WIDTH}.0) * {HIST_WIDTH} AS 
        MAX(s.score) AS best_score
 FROM scores s JOIN documents d ON s.doc_id = d.doc_id
 GROUP BY 1
+"""
+
+
+ORACLE_SQL["budget_select"] = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS toks
+    FROM documents
+), r AS (
+    SELECT doc_id, text, toks,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sr
+    FROM t
+), base AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           floor((LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+                  + {_QF_ALPHA} * 0.3
+                  + LEAST(sr * 4.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM r
+)
+SELECT doc_id, n_tokens, quality,
+       CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) <= {BUDGET_TOKENS} AS INT) AS keep
+FROM base
 """

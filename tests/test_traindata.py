@@ -826,3 +826,34 @@ def test_mixture_weights_zero_token_source_no_nan(spark):
         math.isnan(v) for r in out.values() for v in (r["weight"], r["epochs"])
     )
     assert out["a"]["weight"] == 1.0  # only token-bearing source
+
+
+def test_select_by_budget_greedy_and_partition_invariant(spark):
+    """Keep set = the maximal quality-DESC prefix fitting the budget;
+    a straddling doc is dropped; result identical under repartition
+    (the two-phase prefix sum is the determinism claim)."""
+    from semantic_pdf_search_engine_spark.operators.traindata import (
+        select_by_budget,
+    )
+
+    rows = [  # (id, text of n words) with quality proxy = n words
+        (1, "w " * 10),   # 10 tokens
+        (2, "w " * 8),    # 8
+        (3, "w " * 6),    # 6
+        (4, "w " * 4),    # 4
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    quality = F.size(F.split(F.col("text"), " ")).cast("double")
+    out = {r["doc_id"]: r for r in select_by_budget(docs, 20, quality).collect()}
+    # greedy order 1(10) -> 2(8) cum 18 <= 20; 3 would hit 24 -> dropped,
+    # and 4 (cum 28) too: greedy PREFIX, not best-fit knapsack
+    assert [out[i]["keep"] for i in (1, 2, 3, 4)] == [1, 1, 0, 0]
+    assert out[2]["cum_tokens"] == 18 and out[3]["cum_tokens"] == 24
+
+    again = {
+        r["doc_id"]: (r["keep"], r["cum_tokens"])
+        for r in select_by_budget(docs.repartition(7), 20, quality).collect()
+    }
+    assert again == {i: (out[i]["keep"], out[i]["cum_tokens"]) for i in out}
