@@ -303,33 +303,56 @@ def main():
     # headline would double-count latency and break round-over-round
     # comparability of `value`
     total = round(sum(v for k, v in queries.items() if k != "query_p95"), 2)
-    print(
-        json.dumps(
-            {
-                "metric": "index_build_plus_query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "n_suite_entries": len(queries) - 1,
-                "queries": queries,
-                "cache_warm_sec": cache_warm,
-                "sf": sf,
-                "turns_per_sec": m["turns_per_sec"],
-                "n_turns": m["n_turns"],
-                "cpus": CPUS,
-                "host_steal_pct": steal,
-                "build_reps": [
-                    {
-                        "build_sec": b["build_sec"],
-                        "turns_per_sec": b["turns_per_sec"],
-                        "steal_pct": b["host_steal_pct_during_build"],
-                    }
-                    for b in builds
-                ],
-                "registry_passes": reg_passes,
-                "bench_wall_sec": round(time.time() - bench_t0, 1),
-            }
-        )
+    build_reps = [
+        {
+            "build_sec": b["build_sec"],
+            "turns_per_sec": b["turns_per_sec"],
+            "steal_pct": b["host_steal_pct_during_build"],
+        }
+        for b in builds
+    ]
+    # The driver captures only a ~2000-char stdout tail: in r4 the
+    # 98-entry per-query dict pushed the single JSON line to ~4 KB and
+    # BENCH_r04.json recorded `parsed: null`. The FINAL line is now a
+    # compact headline (<1.5 KB) and the full per-query dict goes to a
+    # committed artifact referenced by path.
+    full_path = REPO / "BENCH" / "bench_full_latest.json"
+    reg_lat = sorted(
+        v
+        for k, v in queries.items()
+        if k not in ("index_build", "query_p50", "query_p95", "query_batch_per_query")
     )
+    headline = {
+        "metric": "index_build_plus_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "n_suite_entries": len(queries) - 1,
+        "cache_warm_sec": cache_warm,
+        "sf": sf,
+        "turns_per_sec": m["turns_per_sec"],
+        "n_turns": m["n_turns"],
+        "cpus": CPUS,
+        "host_steal_pct": steal,
+        "build_reps": build_reps,
+        "registry_passes": reg_passes,
+        "registry_query_p50": round(statistics.median(reg_lat), 3) if reg_lat else None,
+        "registry_query_max": reg_lat[-1] if reg_lat else None,
+        "queries": {
+            k: queries[k]
+            for k in ("index_build", "query_p50", "query_p95", "query_batch_per_query")
+            if k in queries
+        },
+        "full_results": str(full_path),
+        "bench_wall_sec": round(time.time() - bench_t0, 1),
+    }
+    try:
+        full_path.parent.mkdir(exist_ok=True)
+        full_path.write_text(
+            json.dumps({**headline, "queries": queries}, indent=1) + "\n"
+        )
+    except OSError as e:  # keep the headline flowing even if the write fails
+        headline["full_results"] = f"WRITE FAILED: {e}"
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -584,6 +584,8 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_rank: str = "crc32",
+    quantize: int | None = None,
 ) -> np.ndarray:
     """DISTRIBUTED spherical k-means (Lloyd's) over the FULL corpus —
     the scale path train_ivf_centroids deliberately skips (IVF trains
@@ -607,12 +609,35 @@ def kmeans_fit(
     coordinates carry the usual float-sum partition-order variance —
     tests therefore pin MEMBERSHIP, not coordinates, on separated
     data. Empty clusters keep their previous centroid (standard
-    Lloyd's fallback)."""
+    Lloyd's fallback).
+
+    Cross-engine determinism knobs (the SQL-oracle posture): with
+    `quantize=q`, every centroid coordinate is snapped to
+    floor(x*10^q + 0.5)/10^q after each normalize — the same exact
+    IEEE op sequence a SQL twin can compute — which absorbs the
+    partition-order variance of the float partial sums (~1e-15
+    relative vs a 10^-q grid), making the ASSIGNMENTS byte-stable
+    against an unrolled-Lloyd's SQL oracle. `init_rank="md5"` ranks
+    the seed vectors by md5(id-as-string) instead of crc32 (DuckDB
+    has md5 but no crc32)."""
     import pandas as pd
+
+    if init_rank == "md5":
+        rank_col = F.md5(F.col(id_col).cast("string").cast("binary"))
+    elif init_rank == "crc32":
+        rank_col = F.crc32(F.col(id_col).cast("string"))
+    else:
+        raise ValueError(f"kmeans_fit: unknown init_rank {init_rank!r}")
+
+    def _snap(c: np.ndarray) -> np.ndarray:
+        if quantize is None:
+            return c
+        scale = 10.0 ** quantize
+        return np.floor(c * scale + 0.5) / scale
 
     x0 = (
         emb.select(vec_col)
-        .orderBy(F.crc32(F.col(id_col).cast("string")), F.col(id_col))
+        .orderBy(rank_col, F.col(id_col))
         .limit(k)
         .collect()
     )
@@ -624,6 +649,7 @@ def kmeans_fit(
     k = len(x0)
     c = np.array([r[vec_col] for r in x0], dtype=np.float64)
     c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    c = _snap(c)
     base = emb.select(id_col, vec_col).persist()
     try:
         d = c.shape[1]
@@ -660,9 +686,15 @@ def kmeans_fit(
                 sums[r["bucket"]] += np.array(r["sum_vec"])
                 counts[r["bucket"]] += r["n"]
             nz = counts > 0
+            upd = sums[nz] / counts[nz, None]
+            upd /= np.maximum(np.linalg.norm(upd, axis=1, keepdims=True), 1e-12)
+            # empty clusters keep the PREVIOUS centroid verbatim (no
+            # re-normalize/re-snap round-trip — the SQL twin's COALESCE
+            # keeps the previous list untouched, and a second snap of an
+            # already-snapped vector is not grid-stable after division
+            # by its ~1±1e-q norm)
             c = c.copy()
-            c[nz] = sums[nz] / counts[nz, None]
-            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            c[nz] = _snap(upd)
     finally:
         base.unpersist()
     return c

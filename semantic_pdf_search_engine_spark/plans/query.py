@@ -157,6 +157,12 @@ def _daat_stripe_topk(
     return (hit[order] + base).astype("int64"), s[order]
 
 
+# Above this many member docIDs, a non-contiguous conversation's
+# membership is NOT collected to the driver as a numpy mask; the scoped
+# search falls back to an in-plan broadcast semi-join (see score_topk).
+NONCONTIG_MEMBERSHIP_CAP = 100_000
+
+
 def score_topk(
     index: InvertedIndex,
     query: str,
@@ -165,6 +171,7 @@ def score_topk(
     prune: bool = True,
     use_tree_reduce: bool = False,
     conv_id: str | None = None,
+    membership_cap: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) from the compressed posting blocks.
 
@@ -181,10 +188,15 @@ def score_topk(
     exact docID set (bounded by the conversation's size) is collected
     and the scorer masks by membership instead of range, so docs of
     OTHER conversations inside the range are never scored into scoped
-    results. Stats stay global (scoped BM25 semantics, same as the
-    relational path). Threshold pruning is disabled under scope: a
-    block's top posting may lie outside the range, making the lower
-    bound unachievable in scope.
+    results. Above NONCONTIG_MEMBERSHIP_CAP member docs (override with
+    `membership_cap`) the driver collect is skipped entirely: the
+    scorer masks by range with per-stripe truncation off, and the
+    candidates are broadcast-semi-joined against the conversation's
+    doc_ids IN-PLAN before the global top-k — same results (pinned by
+    test), no data-shaped driver materialization. Stats stay global
+    (scoped BM25 semantics, same as the relational path). Threshold
+    pruning is disabled under scope: a block's top posting may lie
+    outside the range, making the lower bound unachievable in scope.
     """
     spark = index.spark
     q_terms = sorted(set(tokenize_py(query)))
@@ -194,6 +206,7 @@ def score_topk(
 
     scope_range: tuple[int, int] | None = None
     scope_ids: np.ndarray | None = None
+    scope_semi: DataFrame | None = None
     if conv_id is not None:
         row = (
             index.docs.filter(F.col("conv_id") == conv_id)
@@ -208,16 +221,31 @@ def score_topk(
             return empty
         scope_range = (int(row["lo"]), int(row["hi"]))
         if int(row["n"]) != scope_range[1] - scope_range[0] + 1:
-            # non-contiguous conversation: exact membership mask
-            scope_ids = np.array(
-                sorted(
-                    r["doc_id"]
-                    for r in index.docs.filter(F.col("conv_id") == conv_id)
-                    .select("doc_id")
-                    .collect()
-                ),
-                dtype=np.int64,
-            )
+            cap = NONCONTIG_MEMBERSHIP_CAP if membership_cap is None else membership_cap
+            if int(row["n"]) <= cap:
+                # non-contiguous conversation: exact membership mask,
+                # bounded by one conversation's size (≤ cap)
+                scope_ids = np.array(
+                    sorted(
+                        r["doc_id"]
+                        for r in index.docs.filter(F.col("conv_id") == conv_id)
+                        .select("doc_id")
+                        .collect()
+                    ),
+                    dtype=np.int64,
+                )
+            else:
+                # pathological million-turn conversation: keep the
+                # membership IN-PLAN — the scorer masks by the [lo, hi]
+                # range only and skips per-stripe truncation (a range hit
+                # outside the membership must not displace a member from
+                # a stripe's local top-k), then the candidate set is
+                # broadcast-semi-joined against the conversation's
+                # doc_ids before the global top-k. No driver-side
+                # materialization whose bound is data-shaped.
+                scope_semi = index.docs.filter(
+                    F.col("conv_id") == conv_id
+                ).select("doc_id")
         prune = False  # lb not achievable-in-scope; range skipping below
 
     buckets = sorted({term_bucket_of(t) for t in q_terms})
@@ -254,9 +282,14 @@ def score_topk(
 
     codec_name = index.codec
 
+    # semi-join fallback: per-stripe truncation OFF (k_local = the
+    # stripe width, so every in-range hit survives to the join) —
+    # candidates stay ≤ stripe_docs per stripe either way
+    k_local = stripe_docs if scope_semi is not None else k
+
     def score_stripe(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, s = _daat_stripe_topk(
-            pdf, stripe_docs, avgdl, k, scope_ids=scope_ids,
+            pdf, stripe_docs, avgdl, k_local, scope_ids=scope_ids,
             scope_range=scope_range, codec_name=codec_name,
         )
         return pd.DataFrame({"doc_id": ids, "score": s})
@@ -264,6 +297,8 @@ def score_topk(
     candidates = qblocks.groupBy("stripe_id").applyInPandas(
         score_stripe, schema="doc_id long, score double"
     )
+    if scope_semi is not None:
+        candidates = candidates.join(F.broadcast(scope_semi), "doc_id", "left_semi")
     if round_scores:
         candidates = candidates.withColumn(
             "score", round_half_up(F.col("score"), SCORE_DECIMALS)
@@ -371,16 +406,28 @@ def search(
 ) -> DataFrame:
     """Top-k joined back to the stored turns — the full reference query
     pipeline shape (top-k → payload fetch → result rows with text;
-    /root/reference/src/bin/app/handlers/search.rs:16-65)."""
-    hits = score_topk(index, query, k, **kw)
-    winners = [r["doc_id"] for r in hits.collect()]
-    if not winners:
+    /root/reference/src/bin/app/handlers/search.rs:16-65).
+
+    ONE collect per call (the ≤k winner rows); the returned plan fetches
+    payloads with the winner ids pushed into the docs scan as an In
+    filter and the k scored rows rejoined as a broadcast LOCAL relation
+    — collecting the result does NOT re-run the scoring DAG (the former
+    shape joined the live score_topk plan, re-scoring on materialize)."""
+    rows = score_topk(index, query, k, **kw).collect()
+    if not rows:
         return index.spark.createDataFrame(
             [], "doc_id long, score double, conv_id string, turn_idx int, text string"
         )
-    docs = index.fetch_docs(winners).select("doc_id", "conv_id", "turn_idx", "text")
+    hits = index.spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in rows],
+        "doc_id long, score double",
+    )
+    docs = index.fetch_docs([r["doc_id"] for r in rows]).select(
+        "doc_id", "conv_id", "turn_idx", "text"
+    )
     return (
-        hits.join(F.broadcast(docs), "doc_id")
+        docs.join(F.broadcast(hits), "doc_id")
+        .select("doc_id", "score", "conv_id", "turn_idx", "text")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
 

@@ -268,6 +268,21 @@ def test_scoped_search_non_contiguous_conv(spark, tmp_path):
             ).collect()
         ]
         assert [d for d, _ in got] == [d for d, _ in want], q
+
+        # scale fallback (VERDICT r4 #4): membership_cap=0 forces the
+        # in-plan broadcast semi-join instead of the driver numpy mask —
+        # identical results, and the plan carries the LeftSemi join as
+        # proof the membership never left the cluster
+        semi_df = score_topk(
+            idx, q, 10, round_scores=False, conv_id="conv00000005",
+            membership_cap=0,
+        )
+        plan = semi_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan
+        got_semi = [
+            (r["doc_id"], round(r["score"], 9)) for r in semi_df.collect()
+        ]
+        assert got_semi == got, q
         for (gd, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-9
         # every winner genuinely belongs to the scoped conversation

@@ -174,3 +174,72 @@ def test_fixed_chunk_roundtrip_property(spark):
             assert chunks == []
 
     prop()
+
+
+class TestUAX29DocumentedDivergence:
+    """Pins divergence #1 of operators/chunking.py's module docstring:
+    the engine splits after [.!?]+ followed by whitespace, while the
+    reference uses ICU UAX#29 `unicode_sentences`
+    (/root/reference/src/chunk.rs:382-384). These cases are drawn from
+    the UAX#29 (Unicode TR29 §5.1) rule set and pin the CURRENT regex
+    behavior, so the documented gap cannot silently widen OR silently
+    flip — they assert what the engine does, not what ICU does. On the
+    ASCII transcript corpus (fixture sentences end '. ' + uppercase)
+    the two segmenters agree; each case notes the ICU expectation."""
+
+    def test_agreement_plain_ascii(self):
+        # The corpus shape: terminator + space + uppercase. UAX#29 SB11
+        # breaks here too — segmenters AGREE (why the divergence is
+        # cosmetic at this corpus).
+        assert split_sentences_py("He left. She stayed.") == [
+            "He left.",
+            "She stayed.",
+        ]
+
+    def test_divergence_lowercase_continuation(self):
+        # UAX#29 SB8 suppresses the break when lowercase follows
+        # ("e.g. the" stays ONE sentence in ICU); the regex splits on
+        # any terminator+space.
+        assert split_sentences_py("See e.g. the appendix.") == [
+            "See e.g.",
+            "the appendix.",
+        ]
+
+    def test_divergence_no_space_boundary(self):
+        # UAX#29 SB11 breaks after "End." even with no space before
+        # "Next" (two sentences in ICU); the regex requires whitespace
+        # after the terminator — ONE sentence here.
+        assert split_sentences_py("End.Next starts.") == ["End.Next starts."]
+
+    def test_divergence_mandatory_newline_break(self):
+        # UAX#29 SB4 treats LF as a mandatory sentence break (two
+        # sentences in ICU); the regex only splits after [.!?], so an
+        # unterminated line does not end a sentence.
+        assert split_sentences_py("line one\nline two.") == [
+            "line one\nline two."
+        ]
+
+    def test_newline_after_terminator_agrees(self):
+        # terminator + LF: both segmenters break (LF matches \s+).
+        assert split_sentences_py("Done.\nNext thing.") == [
+            "Done.",
+            "Next thing.",
+        ]
+
+    def test_divergence_ellipsis_lowercase(self):
+        # "Wait... then" — ICU (SB8) keeps one sentence (lowercase
+        # follows); the regex splits after the ellipsis run, keeping
+        # the full "..." on the left ((?<=[.!?]) is zero-width).
+        assert split_sentences_py("Wait... then go.") == [
+            "Wait...",
+            "then go.",
+        ]
+
+    def test_divergence_abbreviation_before_uppercase(self):
+        # "Mr. Smith" — plain UAX#29 BREAKS after "Mr. " too (uppercase
+        # follows; only customized/dictionary segmenters suppress it),
+        # and so does the regex: agreement, pinned because it surprises.
+        assert split_sentences_py("Mr. Smith agreed.") == [
+            "Mr.",
+            "Smith agreed.",
+        ]

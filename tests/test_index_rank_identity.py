@@ -90,10 +90,19 @@ def test_tree_reduce_equals_sort_limit(spark, index):
 
 def test_search_returns_text(spark, index):
     q = make_queries(3)[0]
-    rows = search(index, q, 5).collect()
+    result = search(index, q, 5)
+    # single-collect serving contract (VERDICT r4 #6): the returned
+    # payload-fetch plan must NOT embed the live scoring DAG — no
+    # grouped-pandas scoring node, so materializing it cannot re-score
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    rows = result.collect()
     assert 0 < len(rows) <= 5
     for r in rows:
         assert r["text"] and r["conv_id"].startswith("conv")
+    # identical (doc_id, score) pairs as the raw scoring path, in order
+    want = [(r["doc_id"], r["score"]) for r in score_topk(index, q, 5).collect()]
+    assert [(r["doc_id"], r["score"]) for r in rows] == want
 
 
 def test_empty_and_absent(spark, index):

@@ -578,3 +578,48 @@ def test_kmeans_k_exceeds_rows_clamps(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
     with pytest.raises(ValueError, match="empty"):
         kmeans_fit(empty, k=2)
+
+
+def test_kmeans_md5_init_quantized_recovers_blobs(spark):
+    """The hard-oracle posture (md5-ranked init + 1e-6 centroid
+    quantization, registry.q_kmeans_clusters) still recovers separated
+    blobs label-pure — quantization perturbs centroids by ≤5e-7, far
+    inside the blob margin."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    emb = _blob_embeddings(spark)
+    c = kmeans_fit(emb, k=3, iters=5, init_rank="md5", quantize=6)
+    got = assign_clusters(emb, c).join(emb.select("vec_id", "label"), "vec_id")
+    by_cluster = {}
+    for r in got.collect():
+        by_cluster.setdefault(r["cluster"], set()).add(r["label"])
+    assert len(by_cluster) == 3
+    assert all(len(v) == 1 for v in by_cluster.values()), by_cluster
+
+
+def test_kmeans_quantized_centroids_partition_byte_identical(spark):
+    """With quantize set, the fitted centroid MATRIX (not just the
+    membership) is byte-identical under different input partitionings —
+    the property the unrolled-Lloyd's DuckDB oracle relies on: the
+    1e-6 snap grid absorbs the float-sum partition-order variance."""
+    import numpy as np
+
+    from semantic_pdf_search_engine_spark.operators.similarity import kmeans_fit
+
+    emb = _blob_embeddings(spark)
+    c1 = kmeans_fit(emb, k=3, iters=4, init_rank="md5", quantize=6)
+    c2 = kmeans_fit(emb.repartition(13), k=3, iters=4, init_rank="md5", quantize=6)
+    assert np.array_equal(c1, c2)
+
+
+def test_kmeans_bad_init_rank_raises(spark):
+    import pytest
+
+    from semantic_pdf_search_engine_spark.operators.similarity import kmeans_fit
+
+    emb = _blob_embeddings(spark)
+    with pytest.raises(ValueError, match="init_rank"):
+        kmeans_fit(emb, k=3, iters=1, init_rank="sha512")
