@@ -184,6 +184,20 @@ def ngram_jaccard_pairs(
     return out
 
 
+def universal_hash_params(n_perms: int):
+    """The seeded multiply-shift coefficients (a_i odd, b_i) of the
+    'universal' minhash family, exposed so the DuckDB oracle twin can
+    embed the SAME constants: sig_i = min over shingles of
+    (a_i·h + b_i) mod 2⁶⁴ with h = first 8 bytes of md5(shingle) as a
+    big-endian uint64. Returns (pa, pb) as 1-D uint64 arrays."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    pa = rng.integers(1, 2**62, size=n_perms, dtype=np.uint64) * 2 + 1
+    pb = rng.integers(0, 2**63, size=n_perms, dtype=np.uint64)
+    return pa, pb
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -227,9 +241,8 @@ def minhash_signatures(
     prefixes = [f"{i}:".encode() for i in range(1, n_perms + 1)]
     n = SHINGLE_N
     if hash_family == "universal":
-        rng = np.random.default_rng(20260816)
-        pa = (rng.integers(1, 2**62, size=n_perms, dtype=np.uint64) * 2 + 1)[:, None]
-        pb = rng.integers(0, 2**63, size=n_perms, dtype=np.uint64)[:, None]
+        pa, pb = universal_hash_params(n_perms)
+        pa, pb = pa[:, None], pb[:, None]
 
     def gen(batches):
         for pdf in batches:

@@ -458,9 +458,14 @@ def q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_smart_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: sentence-packed chunks with 2-sentence overlap carry
-    (chunk.rs:521-560 + garbage filter per chunk_per_page). Stateful
-    fold → no SQL twin; rows-only check, semantics unit-tested in
-    tests/test_chunking.py against the reference's pinned behaviors."""
+    (chunk.rs:521-560 + garbage filter per chunk_per_page). HARD oracle
+    since r5 (was rows-only): the stateful fold IS SQL-expressible as a
+    per-doc recursive CTE (_smart_chunks_sql) — state (cur, p1), flush
+    emissions in an `emit` column, tail from the final state — matched
+    byte-for-byte at sf0.001/0.01/0.1, with the flush/overlap-carry
+    branch additionally pinned at chunk_size=120 in
+    tests/test_chunking.py (439 multi-chunk docs). Reference behavior
+    vectors stay unit-tested there too."""
     from semantic_pdf_search_engine_spark.operators.chunking import smart_chunks
 
     return smart_chunks(_docs(spark, sf_dir))
@@ -576,8 +581,11 @@ def q_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutations in a numpy broadcast — n_perms× fewer digests than the
     oracle family): the configuration a 100 TB near-dup pass would run,
     vs the 4/2 demo whose tiny signature space has an exact DuckDB
-    twin. Rows-only (banding is probabilistic); the banding-probability
-    curve 1−(1−J⁴)¹⁶ is certified in tests/test_dedup.py
+    twin. HARD oracle since r5 (was rows-only): the universal family is
+    deterministic end-to-end, so _minhash_prod_sql embeds the seeded
+    multiply-shift coefficients and replays the identical pipeline in
+    DuckDB (matched at sf0.001/0.01/0.1). The banding-probability curve
+    1−(1−J⁴)¹⁶ stays certified in tests/test_dedup.py
     (test_minhash_prod_banding_probability). Shuffle stays (doc, band)
     shaped at any parameter setting."""
     from semantic_pdf_search_engine_spark.operators.dedup import minhash_lsh_pairs
@@ -3901,3 +3909,172 @@ SELECT vec_id, CAST(cid AS INT) AS cluster FROM ({assign_body(f'c{iters}')})
 
 
 ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_QDEC)
+
+
+def _minhash_prod_sql(n_perms: int, n_bands: int) -> str:
+    """DuckDB twin of q_minhash_lsh_prod (64-perm / 16-band banding,
+    'universal' hash family) — HARD oracle since r5 (was rows-only).
+
+    The universal family is deterministic end-to-end: h = first 8
+    bytes of md5(shingle) as a big-endian uint64, sig_i = min over
+    shingles of (a_i·h + b_i) mod 2⁶⁴ with the seeded coefficients
+    from dedup.universal_hash_params — embedded here as literals so
+    both engines hash with the SAME constants. Cross-engine parity of
+    each primitive is exact: '0x'||hex → UBIGINT equals numpy's
+    big-endian view of the digest; (a·h+b) via HUGEINT mod 2⁶⁴ equals
+    numpy uint64 wraparound (a < 2⁶³, h < 2⁶⁴ → product < 2¹²⁷, no
+    HUGEINT overflow); lpad(lower(hex(v)),16,'0') equals
+    format(v,'016x'). Banding concat and the distinct pair join reuse
+    the demo oracle's shape."""
+    from semantic_pdf_search_engine_spark.operators.dedup import (
+        universal_hash_params,
+    )
+
+    pa, pb = universal_hash_params(n_perms)
+    per_band = n_perms // n_bands
+    m64 = "18446744073709551616::HUGEINT"
+    sig_exprs = ",\n           ".join(
+        "lpad(lower(hex(MIN((({a}::HUGEINT * h + {b}::HUGEINT) % {m}))"
+        "::UBIGINT)), 16, '0') AS sig_{i}".format(
+            a=int(pa[i]), b=int(pb[i]), m=m64, i=i + 1
+        )
+        for i in range(n_perms)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band_idx, {concat} AS band_val FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"sig_{b * per_band + j + 1}" for j in range(per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hs AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 16))::UBIGINT::HUGEINT AS h
+    FROM sh
+),
+sigs AS (
+    SELECT doc_id,
+           {sig_exprs}
+    FROM hs GROUP BY doc_id
+),
+bands AS (
+    {band_selects}
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y USING (band_idx, band_val)
+WHERE x.doc_id < y.doc_id
+"""
+
+
+ORACLE_SQL["minhash_lsh_prod"] = _minhash_prod_sql(64, 16)
+
+
+def _smart_chunks_sql(chunk_size: int) -> str:
+    """DuckDB twin of q_smart_chunks (C3 sentence packing + 2-sentence
+    overlap carry + header skip + garbage drop) — HARD oracle since r5
+    (was rows-only 'stateful fold → no SQL twin').
+
+    The fold IS SQL-expressible as a per-doc recursive CTE: state =
+    (cur, p1) where p1 is the last sentence appended since the last
+    flush (buffer[-2:] only ever needs p1 + the incoming sentence), one
+    recursion step per kept sentence, flush emissions carried in an
+    `emit` column, the tail chunk read off the final state. Recursion
+    depth = max sentences per doc (breadth = all docs at once), so the
+    oracle stays cheap on fixture data at any SF.
+
+    Cross-engine parity notes: RE2 has no lookbehind, so Python's
+    `(?<=[.!?])\\s+` splitter is replayed as marker-replace
+    `([.!?])\\s+ → \\1 || chr(1)` then split on chr(1) (identical
+    pieces — the separator run is consumed either way); Python
+    .strip() is trim(x, <6 ASCII whitespace chars>); ASCII-only
+    letter/digit counts use [^A-Za-z]/[^0-9] regexp_replace. Flush
+    branch parity (never reached at chunk_size=2000 on ≤577-char
+    fixture turns) is pinned by tests/test_chunking.py at
+    chunk_size=120 against smart_chunk_py."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    newcur = "w.cur || s.s || ' '"
+    carry = (
+        "CASE WHEN w.p1 IS NULL THEN s.s || ' ' "
+        "ELSE w.p1 || ' ' || s.s || ' ' END"
+    )
+    return f"""
+WITH RECURSIVE
+raw AS (
+    SELECT doc_id,
+           list_filter(
+               string_split(
+                   regexp_replace(COALESCE(text, ''), '([.!?])\\s+',
+                                  '\\1' || chr(1), 'g'),
+                   chr(1)),
+               x -> x <> '') AS L
+    FROM documents
+),
+cand AS (
+    SELECT doc_id, i AS raw_i, L[i] AS s, trim(L[i], {ws}) AS t
+    FROM raw, unnest(generate_series(1, len(L))) AS g(i)
+),
+hdr AS (
+    SELECT doc_id, raw_i, s,
+           length(t) <= 100 AND (
+               (regexp_matches(t, '^[0-9]')
+                AND len(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '')) <= 6)
+            OR (upper(t) = t AND regexp_matches(t, '[A-Z]')
+                AND len(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '')) <= 5)
+            OR (regexp_matches(t, '^[0-9][^\\n]*:')
+                AND len(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '')) <= 8)
+           ) AS is_hdr
+    FROM cand
+),
+sents AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_i) AS i,
+           s
+    FROM hdr WHERE NOT is_hdr
+),
+nmax AS (SELECT doc_id, MAX(i) AS n FROM sents GROUP BY doc_id),
+walk AS (
+    SELECT doc_id, CAST(0 AS BIGINT) AS i, '' AS cur,
+           CAST(NULL AS VARCHAR) AS p1, CAST(NULL AS VARCHAR) AS emit
+    FROM nmax
+    UNION ALL
+    SELECT w.doc_id, s.i,
+           CASE WHEN length({newcur}) >= {chunk_size}
+                THEN {carry} ELSE {newcur} END,
+           CASE WHEN length({newcur}) >= {chunk_size}
+                THEN CAST(NULL AS VARCHAR) ELSE s.s END,
+           CASE WHEN length({newcur}) >= {chunk_size}
+                THEN trim({newcur}, {ws}) ELSE CAST(NULL AS VARCHAR) END
+    FROM walk w JOIN sents s ON s.doc_id = w.doc_id AND s.i = w.i + 1
+),
+emitted AS (
+    SELECT doc_id, i, 0 AS tail, emit AS chunk FROM walk WHERE emit IS NOT NULL
+    UNION ALL
+    SELECT w.doc_id, w.i, 1 AS tail, trim(w.cur, {ws}) AS chunk
+    FROM walk w JOIN nmax USING (doc_id)
+    WHERE w.i = nmax.n AND trim(w.cur, {ws}) <> ''
+),
+kept AS (
+    SELECT doc_id, i, tail, chunk FROM emitted
+    WHERE NOT (
+        (length(chunk) - length(replace(chunk, '.', ''))) > 10
+        AND length(regexp_replace(chunk, '[^A-Za-z]', '', 'g')) < 5
+        AND length(regexp_replace(chunk, '[^0-9]', '', 'g')) > 0
+    )
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i, tail) - 1 AS INT)
+           AS chunk_idx,
+       chunk
+FROM kept
+"""
+
+
+from semantic_pdf_search_engine_spark.operators.chunking import (  # noqa: E402
+    SMART_CHUNK_CHARS as _SMART_CHUNK_CHARS,
+)
+
+ORACLE_SQL["smart_chunks"] = _smart_chunks_sql(_SMART_CHUNK_CHARS)

@@ -243,3 +243,39 @@ class TestUAX29DocumentedDivergence:
             "Mr.",
             "Smith agreed.",
         ]
+
+
+def test_smart_chunks_sql_twin_flush_path(spark, sf_dir):
+    """The recursive-CTE oracle (_smart_chunks_sql) equals the Python
+    fold BYTE-FOR-BYTE at chunk_size=120, where the fixture's ≤577-char
+    turns actually exercise the flush + 2-sentence overlap carry (439
+    multi-chunk docs at sf0.001) — the branch the registry's
+    chunk_size=2000 entry never reaches on fixture data."""
+    import duckdb
+
+    from semantic_pdf_search_engine_spark.registry import _smart_chunks_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        smart_chunks(docs, chunk_size=120)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(_smart_chunks_sql(120))
+        .df()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == want.shape
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["chunk_idx"].values == want["chunk_idx"].values).all()
+    assert (got["chunk"].astype(str).values == want["chunk"].astype(str).values).all()
+    # the flush branch is genuinely exercised
+    assert (got.groupby("doc_id").size() > 1).sum() > 100
