@@ -616,10 +616,18 @@ def kmeans_fit(
     floor(x*10^q + 0.5)/10^q after each normalize — the same exact
     IEEE op sequence a SQL twin can compute — which absorbs the
     partition-order variance of the float partial sums (~1e-15
-    relative vs a 10^-q grid), making the ASSIGNMENTS byte-stable
-    against an unrolled-Lloyd's SQL oracle. `init_rank="md5"` ranks
-    the seed vectors by md5(id-as-string) instead of crc32 (DuckDB
-    has md5 but no crc32)."""
+    relative vs a 10^-q grid). `init_rank="md5"` ranks the seed
+    vectors by md5(id-as-string) instead of crc32 (DuckDB has md5 but
+    no crc32). Honest scope of the stability claim: the snap pins the
+    CENTROIDS; the assignment argmax still compares dot products whose
+    summation order differs across engines (numpy pairwise vs SQL
+    sequential, ~1 ulp), so a data vector whose top-2 cosines agree
+    within ~1e-15 could in principle assign differently cross-engine.
+    No such near-tie exists in the fixture corpus — (vec_id, cluster)
+    equality is verified empirically at sf0.001/0.01/0.1 (the gate's
+    exact inputs) and membership is repartition-invariant by test; on
+    arbitrary corpora treat assignments as deterministic-per-engine,
+    not byte-portable."""
     import pandas as pd
 
     if init_rank == "md5":

@@ -191,9 +191,12 @@ def score_topk(
     results. Above NONCONTIG_MEMBERSHIP_CAP member docs (override with
     `membership_cap`) the driver collect is skipped entirely: the
     scorer masks by range with per-stripe truncation off, and the
-    candidates are broadcast-semi-joined against the conversation's
-    doc_ids IN-PLAN before the global top-k — same results (pinned by
-    test), no data-shaped driver materialization. Stats stay global
+    candidates are semi-joined against the conversation's doc_ids
+    IN-PLAN before the global top-k (no broadcast hint — AQE picks
+    broadcast only when the membership is measured small; a forced
+    broadcast would itself collect the membership to the driver) —
+    same results (pinned by test), no data-shaped driver
+    materialization. Stats stay global
     (scoped BM25 semantics, same as the relational path). Threshold
     pruning is disabled under scope: a block's top posting may lie
     outside the range, making the lower bound unachievable in scope.
@@ -240,9 +243,15 @@ def score_topk(
                 # range only and skips per-stripe truncation (a range hit
                 # outside the membership must not displace a member from
                 # a stripe's local top-k), then the candidate set is
-                # broadcast-semi-joined against the conversation's
-                # doc_ids before the global top-k. No driver-side
-                # materialization whose bound is data-shaped.
+                # semi-joined against the conversation's doc_ids before
+                # the global top-k. NO broadcast hint: a forced
+                # F.broadcast would collect the membership to the driver
+                # to build the broadcast relation — the exact
+                # data-shaped driver materialization this fallback
+                # exists to avoid (and past Spark's 8 GB broadcast cap
+                # it would fail outright instead of degrading). Left as
+                # a plain join, AQE broadcasts it only when its measured
+                # size is safely small and shuffles otherwise.
                 scope_semi = index.docs.filter(
                     F.col("conv_id") == conv_id
                 ).select("doc_id")
@@ -298,7 +307,7 @@ def score_topk(
         score_stripe, schema="doc_id long, score double"
     )
     if scope_semi is not None:
-        candidates = candidates.join(F.broadcast(scope_semi), "doc_id", "left_semi")
+        candidates = candidates.join(scope_semi, "doc_id", "left_semi")
     if round_scores:
         candidates = candidates.withColumn(
             "score", round_half_up(F.col("score"), SCORE_DECIMALS)

@@ -1900,10 +1900,15 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     init and per-iteration centroid quantization to a 1e-6 grid
     (floor(x*1e6+0.5)/1e6 — the identical IEEE op sequence in numpy and
     DuckDB), the float-sum partition-order variance (~1e-15 relative)
-    is absorbed by the grid, so the (vec_id, cluster) assignment is
-    byte-stable against the unrolled-Lloyd's SQL twin. Membership
-    determinism on separated data additionally pinned in
-    tests/test_similarity.py (blob recovery + partition invariance)."""
+    is absorbed by the grid. The (vec_id, cluster) assignment equality
+    vs the unrolled-Lloyd's SQL twin is verified EMPIRICALLY at
+    sf0.001/0.01/0.1 (the gate's exact inputs); the snap pins
+    centroids, not the assignment dot products, so a hypothetical
+    top-2 cosine tie within ~1e-15 could still differ cross-engine —
+    none exists in the fixture corpus (see kmeans_fit's docstring for
+    the full scope statement). Membership determinism on separated
+    data additionally pinned in tests/test_similarity.py (blob
+    recovery + partition invariance)."""
     from semantic_pdf_search_engine_spark.operators.similarity import (
         assign_clusters,
         kmeans_fit,
@@ -3994,7 +3999,17 @@ def _smart_chunks_sql(chunk_size: int) -> str:
     letter/digit counts use [^A-Za-z]/[^0-9] regexp_replace. Flush
     branch parity (never reached at chunk_size=2000 on ≤577-char
     fixture turns) is pinned by tests/test_chunking.py at
-    chunk_size=120 against smart_chunk_py."""
+    chunk_size=120 against smart_chunk_py.
+
+    ORACLE SCOPE — ASCII corpora only (the fixture corpus is verified
+    pure ASCII): Python's re `\\s` and str.strip() are Unicode-aware
+    while RE2's `\\s` is ASCII [\\t\\n\\f\\r ] — a terminator followed
+    by VT (\\x0b) or NBSP (\\xa0) splits in the engine but not in this
+    twin — and text already containing chr(1) would collide with the
+    split marker. Pinned as documented divergences in
+    tests/test_chunking.py (TestSmartChunksSqlDivergence) so they
+    cannot silently widen; a non-ASCII corpus needs the oracle's
+    charset notes revisited, not the engine changed."""
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
     newcur = "w.cur || s.s || ' '"
     carry = (

@@ -270,9 +270,12 @@ def test_scoped_search_non_contiguous_conv(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
 
         # scale fallback (VERDICT r4 #4): membership_cap=0 forces the
-        # in-plan broadcast semi-join instead of the driver numpy mask —
-        # identical results, and the plan carries the LeftSemi join as
-        # proof the membership never left the cluster
+        # in-plan semi-join instead of the driver numpy mask — identical
+        # results, and the plan carries the LeftSemi join. No broadcast
+        # HINT on the membership side (a forced F.broadcast would
+        # itself collect the membership to the driver; AQE may still
+        # choose broadcast when the measured size is small, which is
+        # executor-side and fine)
         semi_df = score_topk(
             idx, q, 10, round_scores=False, conv_id="conv00000005",
             membership_cap=0,

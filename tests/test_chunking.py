@@ -279,3 +279,53 @@ def test_smart_chunks_sql_twin_flush_path(spark, sf_dir):
     assert (got["chunk"].astype(str).values == want["chunk"].astype(str).values).all()
     # the flush branch is genuinely exercised
     assert (got.groupby("doc_id").size() > 1).sum() > 100
+
+
+class TestSmartChunksSqlDivergence:
+    """Documented engine-vs-oracle divergences of _smart_chunks_sql —
+    pinned so they cannot silently widen (the UAX#29 pattern). The
+    oracle's scope is ASCII corpora (the fixture corpus is verified
+    pure ASCII); these cases show exactly where a non-ASCII corpus
+    would break parity: Python re `\\s`/str.strip() are Unicode-aware,
+    RE2 `\\s` and the 6-char trim are ASCII-only, and chr(1) is the
+    oracle's internal split marker."""
+
+    @staticmethod
+    def _oracle_chunks(text: str, chunk_size: int = 2000):
+        import duckdb
+
+        from semantic_pdf_search_engine_spark.registry import _smart_chunks_sql
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (0, ?)", [text])
+        rows = con.execute(_smart_chunks_sql(chunk_size)).fetchall()
+        return [r[2] for r in sorted(rows)]
+
+    def test_vertical_tab_separator_diverges(self):
+        # Python \s includes VT (\x0b): the engine splits into two
+        # sentences; RE2 \s does not, so the oracle keeps one piece.
+        text = "End one.\x0bNext two."
+        assert split_sentences_py(text) == ["End one.", "Next two."]
+        assert self._oracle_chunks(text) == ["End one.\x0bNext two."]
+
+    def test_nbsp_separator_diverges(self):
+        # Unicode NBSP after a terminator: engine splits, oracle not.
+        text = "End one.\xa0Next two."
+        assert split_sentences_py(text) == ["End one.", "Next two."]
+        assert self._oracle_chunks(text) == ["End one.\xa0Next two."]
+
+    def test_ascii_whitespace_agrees(self):
+        # the full ASCII whitespace run the oracle DOES cover
+        for sep in (" ", "\t", "\n", "\r", "\n\n \t"):
+            text = f"End one.{sep}Next two."
+            assert smart_chunk_py(text, 2000) == ["End one. Next two."]
+            assert self._oracle_chunks(text) == ["End one. Next two."]
+
+    def test_chr1_marker_collision_diverges(self):
+        # text already containing the oracle's chr(1) split marker is
+        # split there by the oracle, never by the engine
+        text = "Part a.\x01Part b. Tail c."
+        eng = smart_chunk_py(text, 2000)
+        assert eng == ["Part a.\x01Part b. Tail c."]
+        assert self._oracle_chunks(text) != eng
