@@ -797,3 +797,35 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     assert out[1]["canonical_id"] == 2 and out[2]["canonical_id"] == 2
     assert out[1]["cluster_rep"] == out[2]["cluster_rep"] == 1  # label stays min-id
     assert out[3]["keep"] == 1 and out[3]["canonical_id"] == 3
+
+
+def test_minhash_prod_sql_generator_other_params(spark, sf_dir):
+    """_minhash_prod_sql is a GENERATOR: pin it at a second parameter
+    point (8 perms / 4 bands) so the 64/16 registry instance isn't the
+    only shape it's ever been right for. Engine and DuckDB twin must
+    agree on the exact candidate-pair set."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.operators.dedup import minhash_lsh_pairs
+    from semantic_pdf_search_engine_spark.registry import _minhash_prod_sql
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 1000)
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(
+            docs, n_perms=8, n_bands=4, hash_family="universal"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {(a, b) for a, b in con.execute(_minhash_prod_sql(8, 4)).fetchall()}
+    assert got == want
+    assert len(got) > 0  # the 31-word fixture vocab guarantees candidates
