@@ -383,9 +383,11 @@ def embedding_neardup_lsh_pairs(
     full bucket (memory stays O(block × bucket), not bucket²).
 
     Reference analog: Qdrant's vector index as the pair-pruning
-    structure (/root/reference/src/qdrant.rs:13-34). Approximate by
-    construction → rows-only driver check; recall vs the exact spine is
-    asserted in tests/test_similarity.py."""
+    structure (/root/reference/src/qdrant.rs:13-34). Approximate vs the
+    all-pairs spine but deterministic end-to-end — the registry's
+    DuckDB twin (_embedding_neardup_lsh_sql) replays the banded
+    bucketing exactly, so the driver check is rows+schema+hash; recall
+    vs the exact spine is asserted in tests/test_similarity.py."""
     import pandas as pd
 
     first = emb.select(vec_col).first()

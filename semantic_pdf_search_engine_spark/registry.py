@@ -870,9 +870,11 @@ def _ann_index(spark: SparkSession, sf_dir: str):
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN over the MATERIALIZED LSH store (probe set →
-    PartitionFilters on `_bucket`) — rows-only check (no exact SQL
-    oracle by design); recall vs the brute path and equality with the
-    on-the-fly path are asserted in tests/test_similarity.py."""
+    PartitionFilters on `_bucket`) — HARD oracle since r5 (was
+    rows-only): the seeded-plane bucketing is deterministic, so
+    `_ann_lsh_sql` replays it in DuckDB with the same plane constants.
+    Recall vs the brute path and equality with the on-the-fly path are
+    asserted in tests/test_similarity.py."""
     from semantic_pdf_search_engine_spark.sources.ann_store import lsh_topk
 
     return lsh_topk(_ann_index(spark, sf_dir), _query_vec(sf_dir), k=10)
@@ -880,8 +882,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the MATERIALIZED store (n_probe nearest centroids →
-    PartitionFilters on `_ivf_bucket`) — rows-only check (approximate
-    by design); recall vs brute asserted in tests/test_similarity.py."""
+    PartitionFilters on `_ivf_bucket`) — rows-only check: the IVF
+    centroids train on a crc32-ordered sample that DuckDB (no crc32)
+    cannot replay, so unlike the sign-LSH twins no exact SQL oracle is
+    possible; recall vs brute asserted in tests/test_similarity.py."""
     from semantic_pdf_search_engine_spark.sources.ann_store import ivf_topk
 
     return ivf_topk(_ann_index(spark, sf_dir), _query_vec(sf_dir), k=10)
@@ -911,8 +915,11 @@ def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (queries stay a DataFrame: probe-bucket assignment is an Arrow
     matmul, candidates come from a cogroup on the store's partition
     column, per-bucket blocked matmul top-k — NO driver collect of the
-    query side). Rows-only (bucket recall < 1 by design); equality with
-    the broadcast path and recall vs the exact batch join asserted in
+    query side). HARD oracle since r5 (was rows-only): bucket recall
+    < 1 vs the exact join, but the seeded-plane probe set is
+    deterministic, so `_knn_join_ann_sql` replays the probe-bucket
+    candidate join in DuckDB. Equality with the broadcast path and
+    recall vs the exact batch join asserted in
     tests/test_similarity.py."""
     from semantic_pdf_search_engine_spark.sources.ann_store import knn_join_lsh_dist
 
@@ -925,8 +932,10 @@ def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN against the materialized IVF table (distributed
     centroid probe assignment + cogroup on `_ivf_bucket`, n_probe=4).
-    Rows-only (recall < 1 by design); recall vs the exact batch join
-    asserted in tests/test_similarity.py."""
+    Rows-only: unlike the sign-LSH twins, the IVF quantizer trains on
+    a crc32-ordered sample (train_ivf_centroids) and DuckDB has no
+    crc32, so the centroids are not SQL-replayable; recall vs the
+    exact batch join asserted in tests/test_similarity.py."""
     from semantic_pdf_search_engine_spark.sources.ann_store import knn_join_ivf_dist
 
     emb = _emb(spark, sf_dir)
@@ -951,10 +960,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality join), hot-bucket skew guard ON at its default
     (max_band_df=100k: a band key shared by more vectors is dropped
     from pair generation with a logged count — see
-    operators/similarity.embedding_neardup_lsh_pairs). Approximate by
-    construction → rows-only check; recall ≥ 0.95 vs the exact spine
-    at threshold 0.3 and the skew-guard behavior are asserted in
-    tests/test_similarity.py."""
+    operators/similarity.embedding_neardup_lsh_pairs). HARD oracle
+    since r5 (was rows-only): approximate vs the all-pairs spine but
+    deterministic, so `_embedding_neardup_lsh_sql` replays the banded
+    bucketing (and the skew guard, as a HAVING) in DuckDB; recall
+    ≥ 0.95 vs the exact spine at threshold 0.3 and the skew-guard
+    behavior are asserted in tests/test_similarity.py."""
     from semantic_pdf_search_engine_spark.operators.similarity import (
         embedding_neardup_lsh_pairs,
     )
@@ -2945,9 +2956,14 @@ SELECT doc_id, CAST(SUM(i * {_TOKHASH}) AS BIGINT) AS fp
 FROM pos GROUP BY doc_id
 """
 
-# "ann_lsh" and "fuzzy_spans" deliberately have no oracle: approximate /
-# non-SQL-expressible ops → rows-only checks; ann_lsh recall is asserted
-# in tests/test_similarity.py, fuzzy span behavior in tests/test_spans.py
+# Remaining rows-only entries (no SQL oracle possible): the IVF pair
+# (ann_ivf / knn_join_ivf — centroid training samples by Spark crc32,
+# which DuckDB lacks) and fuzzy_spans (imperative anchor-scan +
+# Jaro-Winkler window search). The sign-LSH family (ann_lsh,
+# knn_join_ann, embedding_neardup_lsh) became HARD oracles in r5 —
+# seeded-plane bucketing replayed in DuckDB, see the generators at the
+# end of this file. IVF/ANN recall is asserted in
+# tests/test_similarity.py, fuzzy span behavior in tests/test_spans.py
 # (ported reference artifact vectors).
 
 _QF_WC = _WC.format(t="text")
@@ -4093,3 +4109,190 @@ from semantic_pdf_search_engine_spark.operators.chunking import (  # noqa: E402
 )
 
 ORACLE_SQL["smart_chunks"] = _smart_chunks_sql(_SMART_CHUNK_CHARS)
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH family oracles (HARD since r5; were rows-only)
+# ---------------------------------------------------------------------------
+#
+# The sign-LSH bucketing is deterministic end-to-end: planes come from
+# `similarity.hyperplanes(dim, n, seed)` — a seeded generator with no
+# data dependence beyond the (fixture-pinned, verified) embedding dim —
+# so the DuckDB twin replays the bucket assignment with the SAME plane
+# constants inlined as literals, exactly the `_minhash_prod_sql`
+# pattern. Cross-engine parity holds because the only nonlinearity is
+# `dot > 0` and the only rounding is the shared 1e-6 ARITHMETIC floor:
+# measured over every (vector, plane) pair at sf0.001/0.01/0.1 the
+# smallest |dot| is 3.5e-5 and the smallest distance of any compared
+# sim from a 1e-6 rounding boundary is 1.1e-7 (in grid units), both
+# orders of magnitude above worst-case summation-order drift (~1e-9 on
+# the grid for 64-d float64 dots) — so numpy matmul (engine) and
+# list_dot_product (oracle) can never disagree post-rounding on this
+# corpus. Honest scope: the margin claim is EMPIRICAL on the fixture
+# corpus (re-verified each round by the full-registry sweeps), same
+# footing as the knn_join / embedding_neardup hard oracles.
+
+_ANN_EMB_DIM = 64  # fixture embeddings dim, asserted by the generators
+
+
+def _planes_values_sql(planes, alias: str) -> str:
+    """VALUES table `alias(i, v)` of hyperplane row-vectors as DOUBLE[]
+    literals (repr() round-trips float64 exactly)."""
+    rows = ",\n      ".join(
+        "({i}, [{vals}]::DOUBLE[])".format(
+            i=i, vals=", ".join(repr(float(x)) for x in p)
+        )
+        for i, p in enumerate(planes)
+    )
+    return f"(VALUES\n      {rows}) AS {alias}(i, v)"
+
+
+def _lsh_bucket_cte(planes) -> str:
+    """CTE `bkt(vec_id, bucket)`: bit i of `bucket` set iff
+    dot(embedding, plane_i) > 0 — the similarity.lsh_assign contract."""
+    return f"""pl AS (SELECT * FROM {_planes_values_sql(planes, "t")}),
+bkt AS (
+    SELECT e.vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.v) > 0
+                         THEN CAST(1 AS BIGINT) << p.i ELSE CAST(0 AS BIGINT) END)
+                AS BIGINT) AS bucket
+    FROM embeddings e CROSS JOIN pl p
+    GROUP BY e.vec_id
+)"""
+
+
+def _probe_masks(n_planes: int, multiprobe_bits: int) -> list[int]:
+    """XOR masks of the Hamming-ball probe set — one definition with
+    similarity.lsh_probe_buckets / ann_store.lsh_probe_assign."""
+    masks = [0]
+    if multiprobe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        masks += [
+            (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return sorted(set(masks))
+
+
+def _ann_lsh_sql(n_planes: int, seed: int, multiprobe_bits: int) -> str:
+    """DuckDB twin of q_ann_lsh (materialized-store LSH top-10 for the
+    vec_id=0 query, probe set = own bucket + 1-bit flips). The store's
+    partition column is exactly `lsh_assign`'s bucket id under the
+    manifest planes, so recomputing the bucket per vector in SQL and
+    filtering to the probe set reproduces the PartitionFilters scan;
+    the scoring tail is the shared cosine_topk_over contract
+    (round-6 sim DESC, vec_id ASC, LIMIT 10; the query row itself is
+    NOT excluded)."""
+    from semantic_pdf_search_engine_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(_ANN_EMB_DIM, n_planes, seed)
+    masks = ", ".join(
+        f"({m})" for m in _probe_masks(n_planes, multiprobe_bits)
+    )
+    return f"""
+WITH {_lsh_bucket_cte(planes)},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0),
+probes AS (SELECT xor(qbucket, CAST(m AS BIGINT)) AS pb
+           FROM qb CROSS JOIN (VALUES {masks}) AS f(m))
+SELECT e.vec_id,
+       floor(({_COS.format(a="e.embedding", b="qv")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+FROM embeddings e JOIN bkt USING (vec_id) CROSS JOIN q
+WHERE bkt.bucket IN (SELECT pb FROM probes)
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def _knn_join_ann_sql(n_planes: int, seed: int, multiprobe_bits: int, k: int) -> str:
+    """DuckDB twin of q_knn_join_ann (knn_join_lsh_dist: 20-query batch
+    ANN, 2-bit multiprobe). A store vector lives in exactly ONE bucket
+    and probe masks are distinct, so the probe-bucket join yields each
+    (q_id, vec_id) candidate at most once; rnk is ROW_NUMBER under the
+    shared (sim DESC, vec_id ASC) key — the same containment argument
+    as _bucket_knn_cogroup."""
+    from semantic_pdf_search_engine_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(_ANN_EMB_DIM, n_planes, seed)
+    masks = ", ".join(
+        f"({m})" for m in _probe_masks(n_planes, multiprobe_bits)
+    )
+    return f"""
+WITH {_lsh_bucket_cte(planes)},
+qs AS (
+    SELECT e.vec_id AS q_id, CAST(e.embedding AS DOUBLE[]) AS qv, bkt.bucket AS qbucket
+    FROM embeddings e JOIN bkt USING (vec_id)
+    WHERE e.vec_id < 20
+),
+probe AS (
+    SELECT q_id, qv, xor(qbucket, CAST(f.m AS BIGINT)) AS pb
+    FROM qs CROSS JOIN (VALUES {masks}) AS f(m)
+),
+s AS (
+    SELECT p.q_id, e.vec_id,
+           floor(({_COS.format(a="e.embedding", b="p.qv")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM probe p
+    JOIN bkt ON bkt.bucket = p.pb
+    JOIN embeddings e ON e.vec_id = bkt.vec_id
+),
+r AS (
+    SELECT q_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk
+    FROM s
+)
+SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def _embedding_neardup_lsh_sql(
+    n_bands: int, band_bits: int, seed: int, threshold: float, max_band_df: int
+) -> str:
+    """DuckDB twin of q_embedding_neardup_lsh (banded sign-LSH near-dup
+    pairs over the FULL table). Band keys replay
+    similarity.band_planes/_band_keys_udf exactly: plane row (t·r + j)
+    contributes bit j of band t's key, tagged (t << 32); a pair is a
+    candidate iff it shares ≥1 band key whose corpus membership is
+    ≤ max_band_df (the hot-bucket guard, replayed as a HAVING — inert
+    on fixture data but faithful at any scale); survivors score with
+    the shared round-6 cosine and the ≥ threshold cut is applied to
+    the ROUNDED sim, as in score_bucket."""
+    from semantic_pdf_search_engine_spark.operators.similarity import band_planes
+
+    planes = band_planes(_ANN_EMB_DIM, n_bands, band_bits, seed).reshape(
+        n_bands * band_bits, _ANN_EMB_DIM
+    )
+    cos = _COS.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH pl AS (SELECT * FROM {_planes_values_sql(planes, "t")}),
+bits AS (
+    SELECT e.vec_id,
+           CAST(p.i // {band_bits} AS BIGINT) AS band,
+           CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.v) > 0
+                THEN CAST(1 AS BIGINT) << (p.i % {band_bits}) ELSE CAST(0 AS BIGINT) END AS bit
+    FROM embeddings e CROSS JOIN pl p
+),
+keys AS (
+    SELECT vec_id, (band << 32) + SUM(bit) AS bk
+    FROM bits GROUP BY vec_id, band
+),
+live AS (SELECT bk FROM keys GROUP BY bk HAVING COUNT(*) <= {max_band_df}),
+cand AS (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM keys x JOIN live USING (bk) JOIN keys y ON x.bk = y.bk AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b,
+       floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 >= {threshold}
+"""
+
+
+ORACLE_SQL["ann_lsh"] = _ann_lsh_sql(6, 7, 1)
+ORACLE_SQL["knn_join_ann"] = _knn_join_ann_sql(6, 7, 2, 10)
+ORACLE_SQL["embedding_neardup_lsh"] = _embedding_neardup_lsh_sql(
+    16, 2, 7, 0.3, 100_000
+)

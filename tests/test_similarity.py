@@ -623,3 +623,100 @@ def test_kmeans_bad_init_rank_raises(spark):
     emb = _blob_embeddings(spark)
     with pytest.raises(ValueError, match="init_rank"):
         kmeans_fit(emb, k=3, iters=1, init_rank="sha512")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generator pins (second parameter points)
+# ---------------------------------------------------------------------------
+#
+# The registry's sign-LSH oracles are GENERATORS (_ann_lsh_sql,
+# _knn_join_ann_sql, _embedding_neardup_lsh_sql). Like the minhash-prod
+# pin in test_dedup.py, each is exercised here at a parameter point
+# DIFFERENT from its registered instance so the generator logic — mask
+# enumeration, plane inlining, band/bit packing, the skew-guard HAVING —
+# is tested, not just the one production shape.
+
+
+def _duck_emb(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con
+
+
+def _r6(x):
+    return int(np.floor(x * 1e6 + 0.5))
+
+
+def test_ann_lsh_sql_generator_other_params(emb, qvec, sf_dir):
+    """4 planes / 1-bit multiprobe (registry instance: 6 / 1) vs the
+    on-the-fly engine path (pinned equal to the store path elsewhere)."""
+    from semantic_pdf_search_engine_spark.registry import _ann_lsh_sql
+
+    got = {
+        (r["vec_id"], _r6(r["sim"]))
+        for r in lsh_cosine_topk(
+            emb, qvec, k=10, n_planes=4, multiprobe_bits=1
+        ).collect()
+    }
+    con = _duck_emb(sf_dir)
+    want = {(v, _r6(s)) for v, s in con.execute(_ann_lsh_sql(4, 7, 1)).fetchall()}
+    assert got == want and len(got) == 10
+
+
+def test_knn_join_ann_sql_generator_other_params(emb, spark, tmp_path, sf_dir):
+    """5 planes / 1-bit probes / k=5 (registry: 6 / 2 / 10) vs the
+    distributed cogroup path over a freshly built store."""
+    from semantic_pdf_search_engine_spark.registry import _knn_join_ann_sql
+    from semantic_pdf_search_engine_spark.sources.ann_store import (
+        build_ann_index,
+        knn_join_lsh_dist,
+    )
+
+    idx = build_ann_index(spark, emb, str(tmp_path / "ann5"), n_planes=5)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {
+        (r["q_id"], r["vec_id"], _r6(r["sim"]), r["rnk"])
+        for r in knn_join_lsh_dist(idx, queries, k=5, multiprobe_bits=1).collect()
+    }
+    con = _duck_emb(sf_dir)
+    want = {
+        (q, v, _r6(s), rk)
+        for q, v, s, rk in con.execute(_knn_join_ann_sql(5, 7, 1, 5)).fetchall()
+    }
+    assert got == want and len({q for q, *_ in got}) == 20
+
+
+def test_embedding_neardup_lsh_sql_generator_guard_active(emb, sf_dir):
+    """8 bands / 2 bits / threshold 0.3 / max_band_df=125 (registry:
+    16 / 2 / 0.3 / 100k). At sf0.001 the 32 band buckets range 103-151
+    members, so a 125 cap drops 13 and keeps 19 — BOTH engines must
+    drop the same hot band keys; guard parity under a PARTIAL drop is
+    what this pins."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+    from semantic_pdf_search_engine_spark.registry import (
+        _embedding_neardup_lsh_sql,
+    )
+
+    got = {
+        (r["a"], r["b"], _r6(r["sim"]))
+        for r in embedding_neardup_lsh_pairs(
+            emb, threshold=0.3, n_bands=8, band_bits=2, max_band_df=125
+        ).collect()
+    }
+    con = _duck_emb(sf_dir)
+    want = {
+        (a, b, _r6(s))
+        for a, b, s in con.execute(
+            _embedding_neardup_lsh_sql(8, 2, 7, 0.3, 125)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
