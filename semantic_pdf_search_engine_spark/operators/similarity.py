@@ -178,24 +178,44 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     iters: int = 5,
     sample: int = 2048,
-    seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = 6,
 ) -> np.ndarray:
-    """IVF coarse quantizer: k-means on a seeded sample, trained
+    """IVF coarse quantizer: k-means on a bounded sample, trained
     driver-side in numpy (standard IVF practice — training touches a
     bounded sample regardless of corpus size; only ASSIGNMENT is
-    distributed). L2-normalized centroids (cosine ≡ inner product)."""
+    distributed). L2-normalized centroids (cosine ≡ inner product).
+
+    Deterministic and SQL-replayable end-to-end (the kmeans_fit
+    posture, which see for the honest cross-engine scope statement):
+    the sample is the `sample` lowest md5(id-as-string)-ranked vectors
+    (a seeded shuffle both Spark and DuckDB can compute; id tie-break
+    makes collisions harmless), init is the first `n_centroids` rows of
+    that same ordering, and — with `quantize=q` — every centroid
+    coordinate is snapped to floor(x*10^q + 0.5)/10^q after each
+    normalize, absorbing float-summation-order variance (~1e-15
+    relative) so a SQL twin that replays the identical op sequence
+    reproduces the centroids bit-for-bit. Assignment ties go to the
+    lowest centroid id (numpy argmax semantics)."""
     rows = (
         emb.select(vec_col)
-        .orderBy(F.crc32(F.col(id_col).cast("string")))  # deterministic shuffle
+        .orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+        )
         .limit(sample)
         .collect()
     )
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+
+    def _snap(c: np.ndarray) -> np.ndarray:
+        if quantize is None:
+            return c
+        scale = 10.0 ** quantize
+        return np.floor(c * scale + 0.5) / scale
+
+    c = _snap(x[: min(n_centroids, len(x))].copy())
     for _ in range(iters):
         sims = x @ c.T
         assign = sims.argmax(axis=1)
@@ -203,7 +223,7 @@ def train_ivf_centroids(
             members = x[assign == j]
             if len(members):
                 m = members.mean(axis=0)
-                c[j] = m / max(np.linalg.norm(m), 1e-12)
+                c[j] = _snap(m / max(np.linalg.norm(m), 1e-12))
     return c
 
 

@@ -858,13 +858,13 @@ def _ann_index(spark: SparkSession, sf_dir: str):
     )
     d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
     sig_path = os.path.join(d, "cache_sig.txt")
-    if _store_sig_valid(sig_path, f"ann:{_N_PLANES}", data_path):
+    if _store_sig_valid(sig_path, f"ann:{_N_PLANES}:ivf-md5-q6", data_path):
         idx = ann_store.load_ann_index(spark, d)
     else:
         idx = ann_store.build_ann_index(
             spark, _emb(spark, sf_dir), d, n_planes=_N_PLANES
         )
-        _write_store_sig(sig_path, f"ann:{_N_PLANES}", data_path)
+        _write_store_sig(sig_path, f"ann:{_N_PLANES}:ivf-md5-q6", data_path)
     return _remember_handle(spark, "ann", sf_dir, data_path, idx)
 
 
@@ -882,10 +882,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the MATERIALIZED store (n_probe nearest centroids →
-    PartitionFilters on `_ivf_bucket`) — rows-only check: the IVF
-    centroids train on a crc32-ordered sample that DuckDB (no crc32)
-    cannot replay, so unlike the sign-LSH twins no exact SQL oracle is
-    possible; recall vs brute asserted in tests/test_similarity.py."""
+    PartitionFilters on `_ivf_bucket`) — HARD oracle since r5 (was
+    rows-only): train_ivf_centroids now uses the kmeans_fit determinism
+    posture (md5-ranked sample, first-k init, per-round 1e-6 centroid
+    snap), so `_ann_ivf_sql` unrolls the full train→assign→probe→top-k
+    pipeline in DuckDB; recall vs brute asserted in
+    tests/test_similarity.py."""
     from semantic_pdf_search_engine_spark.sources.ann_store import ivf_topk
 
     return ivf_topk(_ann_index(spark, sf_dir), _query_vec(sf_dir), k=10)
@@ -932,9 +934,10 @@ def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN against the materialized IVF table (distributed
     centroid probe assignment + cogroup on `_ivf_bucket`, n_probe=4).
-    Rows-only: unlike the sign-LSH twins, the IVF quantizer trains on
-    a crc32-ordered sample (train_ivf_centroids) and DuckDB has no
-    crc32, so the centroids are not SQL-replayable; recall vs the
+    HARD oracle since r5 (was rows-only): bucket recall < 1 vs the
+    exact join, but the md5-deterministic quantized IVF training is
+    SQL-replayable (see q_ann_ivf), so `_knn_join_ivf_sql` unrolls
+    train→probe-assign→bucket-join→top-k in DuckDB; recall vs the
     exact batch join asserted in tests/test_similarity.py."""
     from semantic_pdf_search_engine_spark.sources.ann_store import knn_join_ivf_dist
 
@@ -4296,3 +4299,172 @@ ORACLE_SQL["knn_join_ann"] = _knn_join_ann_sql(6, 7, 2, 10)
 ORACLE_SQL["embedding_neardup_lsh"] = _embedding_neardup_lsh_sql(
     16, 2, 7, 0.3, 100_000
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF family oracles (HARD since r5; were the last ANN rows-only pair)
+# ---------------------------------------------------------------------------
+#
+# train_ivf_centroids switched from a crc32/rng-seeded sample to the
+# kmeans_fit determinism posture: the training sample is the `sample`
+# lowest md5(id-as-string)-ranked vectors, init is the first
+# n_centroids rows of that same ordering, and every centroid
+# coordinate is snapped to the 10^-qdec grid after each normalize
+# (the exact floor(x*10^qdec + 0.5)/10^qdec IEEE op sequence DuckDB
+# computes). That makes the ENTIRE pipeline — sample, init, `iters`
+# Lloyd's rounds, full-table bucket assignment, probe selection,
+# cosine top-k — SQL-replayable, so the twins below unroll it the way
+# _kmeans_sql does. Honest scope (same as kmeans_clusters): the snap
+# pins the centroids; assignment/probe argmaxes still compare raw
+# float64 dots, so a top-2 tie within ~1e-15 could in principle differ
+# cross-engine — none exists in the fixture corpus (verified at
+# sf0.001/0.01/0.1, the gate's exact inputs).
+
+_IVF_QDEC = 6  # centroid quantization decimals (train_ivf_centroids default)
+
+
+def _ivf_train_assign_cte(n_centroids: int, iters: int, sample: int, qdec: int) -> str:
+    """CTE chain `e, n, samp, c0..c{iters}, asg` — `asg(vec_id, cid)`
+    is the full-table IVF bucket assignment under centroids trained by
+    train_ivf_centroids' exact op sequence (md5-ranked sample, first-k
+    init, per-round snap, empty clusters keeping the previous centroid,
+    assignment ties to the lowest cid — numpy argmax semantics)."""
+    scale = f"{10.0 ** qdec:.1f}"
+
+    def snap(expr: str) -> str:
+        return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+    def assign_body(src: str, cent: str) -> str:
+        return f"""
+    SELECT vec_id, v, cid FROM (
+        SELECT s.vec_id, s.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY list_dot_product(s.v, c.cv) DESC, c.cid
+               ) AS rn
+        FROM {src} s CROSS JOIN {cent} c) t
+    WHERE rn = 1"""
+
+    parts = [
+        f"""e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+    FROM embeddings
+), n AS (
+    SELECT vec_id,
+           list_transform(
+               v0, x -> x / GREATEST(sqrt(list_sum(list_transform(v0, y -> y * y))), 1e-12)
+           ) AS v
+    FROM e
+), samp AS (
+    SELECT vec_id, v FROM n
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample}
+), c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid,
+           list_transform(v, x -> {snap('x')}) AS cv
+    FROM (SELECT vec_id, v FROM samp
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i} AS ({assign_body('samp', f'c{i - 1}')}
+), g{i} AS (
+    SELECT cid, COUNT(*) AS cnt FROM a{i} GROUP BY cid
+), u{i} AS (
+    SELECT cid, i, SUM(val) AS s FROM (
+        SELECT cid, UNNEST(v) AS val,
+               UNNEST(generate_series(1, len(v))) AS i
+        FROM a{i}
+    ) GROUP BY cid, i
+), m{i} AS (
+    SELECT u.cid, list(u.s / g.cnt ORDER BY u.i) AS mv
+    FROM u{i} u JOIN g{i} g USING (cid) GROUP BY u.cid
+), mn{i} AS (
+    SELECT cid, mv,
+           GREATEST(sqrt(list_sum(list_transform(mv, y -> y * y))), 1e-12) AS nrm
+    FROM m{i}
+), c{i} AS (
+    SELECT p.cid,
+           CASE WHEN m.cid IS NULL THEN p.cv
+                ELSE list_transform(m.mv, x -> {snap('(x / m.nrm)')})
+           END AS cv
+    FROM c{i - 1} p LEFT JOIN mn{i} m ON m.cid = p.cid
+)"""
+        )
+    parts.append(
+        f""", asg AS (SELECT vec_id, cid FROM ({assign_body('n', f'c{iters}')}))"""
+    )
+    return "".join(parts)
+
+
+def _ann_ivf_sql(
+    n_centroids: int, iters: int, sample: int, qdec: int, n_probe: int, k: int
+) -> str:
+    """DuckDB twin of q_ann_ivf (materialized-store IVF top-k for the
+    vec_id=0 query): probe set = the n_probe nearest trained centroids
+    (dot DESC, cid ASC — ivf_probe_buckets' stable argsort tie-break),
+    candidates = full-table assignment ∈ probes (the PartitionFilters
+    scan), scoring = the shared round-6 cosine tail (query row NOT
+    excluded)."""
+    return f"""
+WITH {_ivf_train_assign_cte(n_centroids, iters, sample, qdec)},
+q AS (SELECT v AS qv FROM n WHERE vec_id = 0),
+qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qraw FROM embeddings WHERE vec_id = 0),
+probes AS (
+    SELECT cid FROM c{iters} CROSS JOIN q
+    ORDER BY list_dot_product(cv, qv) DESC, cid LIMIT {n_probe}
+)
+SELECT e.vec_id,
+       floor(({_COS.format(a="e.embedding", b="qraw")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id CROSS JOIN qe
+WHERE asg.cid IN (SELECT cid FROM probes)
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+def _knn_join_ivf_sql(
+    n_centroids: int, iters: int, sample: int, qdec: int, n_probe: int, k: int
+) -> str:
+    """DuckDB twin of q_knn_join_ivf (knn_join_ivf_dist: 20-query batch
+    ANN over the IVF table). Each query explodes into its n_probe
+    nearest centroids (ivf_probe_assign's stable tie-break); a store
+    vector lives in exactly ONE IVF bucket and a query's probe cids are
+    distinct, so the probe join yields each (q_id, vec_id) candidate
+    once — the _bucket_knn_cogroup containment argument; rnk is
+    ROW_NUMBER under the shared (sim DESC, vec_id ASC) key."""
+    return f"""
+WITH {_ivf_train_assign_cte(n_centroids, iters, sample, qdec)},
+qs AS (
+    SELECT e.vec_id AS q_id, CAST(e.embedding AS DOUBLE[]) AS qraw, n.v AS qv
+    FROM embeddings e JOIN n USING (vec_id)
+    WHERE e.vec_id < 20
+),
+probe AS (
+    SELECT q_id, qraw, cid FROM (
+        SELECT qs.q_id, qs.qraw, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qs.q_id
+                   ORDER BY list_dot_product(c.cv, qs.qv) DESC, c.cid
+               ) AS rn
+        FROM qs CROSS JOIN c{iters} c) t
+    WHERE rn <= {n_probe}
+),
+s AS (
+    SELECT p.q_id, e.vec_id,
+           floor(({_COS.format(a="e.embedding", b="p.qraw")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM probe p
+    JOIN asg ON asg.cid = p.cid
+    JOIN embeddings e ON e.vec_id = asg.vec_id
+),
+r AS (
+    SELECT q_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk
+    FROM s
+)
+SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+ORACLE_SQL["ann_ivf"] = _ann_ivf_sql(16, 5, 2048, _IVF_QDEC, 4, 10)
+ORACLE_SQL["knn_join_ivf"] = _knn_join_ivf_sql(16, 5, 2048, _IVF_QDEC, 4, 10)

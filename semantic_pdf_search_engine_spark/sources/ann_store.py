@@ -141,7 +141,7 @@ def build_ann_index(
     dim = len(first[0])
     planes = hyperplanes(dim, n_planes, seed)
     centroids = train_ivf_centroids(
-        emb, n_centroids, seed=seed + 4, id_col=id_col, vec_col=vec_col
+        emb, n_centroids, id_col=id_col, vec_col=vec_col
     )
 
     assigned = lsh_assign(ivf_assign(emb, centroids, vec_col), planes, vec_col)

@@ -218,7 +218,7 @@ def test_materialized_ann_store(emb, qvec, spark, tmp_path):
     ]
     assert got_lsh == want_lsh
 
-    cents = train_ivf_centroids(emb, seed=11)
+    cents = train_ivf_centroids(emb)
     got_ivf = [(r["vec_id"], r["sim"]) for r in ivf_topk(idx, qvec, 10).collect()]
     want_ivf = [
         (r["vec_id"], r["sim"])
@@ -720,3 +720,63 @@ def test_embedding_neardup_lsh_sql_generator_guard_active(emb, sf_dir):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_ann_ivf_sql_generator_other_params(emb, qvec, sf_dir):
+    """8 centroids / 3 iters / 300-sample / 2 probes / k=5 (registry
+    instance: 16/5/2048/4/10). sample=300 < the 500-row corpus, so the
+    md5-ranked LIMIT is ACTIVE here (the registry instance at sf0.001
+    samples the whole table) — this pins the subsample branch of the
+    unrolled-Lloyd's twin. Spark side is the same op composition the
+    store path freezes at build: train → assign → probe → shared
+    cosine tail."""
+    from semantic_pdf_search_engine_spark.operators.similarity import (
+        cosine_topk_over,
+        ivf_assign,
+        ivf_probe_buckets,
+        train_ivf_centroids,
+    )
+    from semantic_pdf_search_engine_spark.registry import _ann_ivf_sql
+
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=3, sample=300)
+    probes = ivf_probe_buckets(cents, qvec, n_probe=2)
+    cand = ivf_assign(emb, cents).filter(F.col("_ivf_bucket").isin(probes))
+    got = {
+        (r["vec_id"], _r6(r["sim"]))
+        for r in cosine_topk_over(cand, qvec, 5).collect()
+    }
+    con = _duck_emb(sf_dir)
+    want = {
+        (v, _r6(s))
+        for v, s in con.execute(_ann_ivf_sql(8, 3, 300, 6, 2, 5)).fetchall()
+    }
+    assert got == want and len(got) == 5
+
+
+def test_knn_join_ivf_sql_generator_other_params(emb, spark, tmp_path, sf_dir):
+    """8 centroids / 2 probes / k=5 (registry: 16/4/10) vs the
+    distributed probe-assign + cogroup path over a freshly built
+    8-centroid store (train params are build_ann_index's frozen
+    defaults: iters=5, sample=2048)."""
+    from semantic_pdf_search_engine_spark.registry import _knn_join_ivf_sql
+    from semantic_pdf_search_engine_spark.sources.ann_store import (
+        build_ann_index,
+        knn_join_ivf_dist,
+    )
+
+    idx = build_ann_index(spark, emb, str(tmp_path / "ann_c8"), n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {
+        (r["q_id"], r["vec_id"], _r6(r["sim"]), r["rnk"])
+        for r in knn_join_ivf_dist(idx, queries, k=5, n_probe=2).collect()
+    }
+    con = _duck_emb(sf_dir)
+    want = {
+        (q, v, _r6(s), rk)
+        for q, v, s, rk in con.execute(
+            _knn_join_ivf_sql(8, 5, 2048, 6, 2, 5)
+        ).fetchall()
+    }
+    assert got == want and len({q for q, *_ in got}) == 20
