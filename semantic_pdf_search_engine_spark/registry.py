@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from semantic_pdf_search_engine_spark.config import (
     B,
     DEFAULT_TOP_K,
+    FUZZY_EARLY_EXIT,
+    FUZZY_THRESHOLD,
     K1,
     SCORE_DECIMALS,
     TOKEN_SPLIT_RE,
@@ -1611,9 +1613,14 @@ def _doc_index(spark: SparkSession, sf_dir: str):
 
 def q_fuzzy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-top-k span refinement (reference fuzzy.rs pipeline) over the
-    flagship query's BM25 winners — rows-only check (Jaro-Winkler is
-    not SQL-expressible; unit-tested against the reference's artifact
-    vectors in tests/test_spans.py). Winners come from the PREBUILT
+    flagship query's BM25 winners — HARD oracle since r5 (was the last
+    rows-only entry): the Jaro-Winkler pipeline IS SQL-expressible —
+    `_fuzzy_spans_sql` replays it bit-for-bit in DuckDB (bitmask-fold
+    Jaro, windowed early-exit, recursive-CTE greedy dedups, regexp
+    sentence snap; see the generator's comment block for the three
+    DuckDB v1.0 list_reduce defects worked around). Also unit-tested
+    against the reference's artifact vectors in tests/test_spans.py.
+    Winners come from the PREBUILT
     compressed index (plans/query.score_topk over partition-pruned
     posting blocks) instead of re-running the 4-scan relational BM25
     spec — identical winner set on this corpus (the index tokenizes
@@ -4468,3 +4475,385 @@ SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= {k}
 
 ORACLE_SQL["ann_ivf"] = _ann_ivf_sql(16, 5, 2048, _IVF_QDEC, 4, 10)
 ORACLE_SQL["knn_join_ivf"] = _knn_join_ivf_sql(16, 5, 2048, _IVF_QDEC, 4, 10)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_spans oracle (HARD since r5; the last rows-only entry)
+# ---------------------------------------------------------------------------
+#
+# The Jaro-Winkler span-refinement pipeline (operators/spans.py:
+# fuzzy_find -> dedup_spans -> snap_to_sentence -> dedup_spans, the
+# reference's fuzzy.rs relocation semantics) replayed op-for-op in
+# DuckDB SQL. Long believed non-SQL-expressible; it is expressible:
+#
+# * Jaro's greedy two-pointer match loop is a `list_reduce` fold whose
+#   state is a pair of BIGINT bitmasks + a count. Per position i the
+#   candidate j-set is precompiled to a bitmask jm; the transition is
+#   pure integer arithmetic (eligible = jm & ~bm; lowest set bit via
+#   eligible & -eligible), deliberately containing NO nested lambdas.
+#   Three DuckDB v1.0 list_reduce defects are worked around, each
+#   isolated by A/B here: (1) lambdas that ITERATE the accumulator
+#   (list_filter/transform over acc) mis-evaluate — the folds use
+#   scalar bitmask state or index only the accumulator tail;
+#   (2) lambdas over NON-FLAT input vectors corrupt deterministically
+#   (48/32,462 rows in a full scan) — every list a reduce consumes is
+#   built in its own AS MATERIALIZED CTE, which flattens it;
+#   (3) indexing an EMPTY list accumulator (acc[len(acc)] or acc[-1])
+#   poisons subsequent iterations (reproduced on pure literals) — the
+#   list-accumulator folds short-circuit `len(acc) = 0 THEN x` before
+#   ever indexing acc.
+# * Transpositions need no fold: they are the aligned mismatch count
+#   of the two matched-position subsequences (list_filter over the
+#   final bitmasks).
+# * The float tail copies Python's exact op order —
+#   (m/la + m/lb + (m - t/2.0)/m) / 3.0, then j + prefix*0.1*(1.0-j)
+#   — so scores are BIT-IDENTICAL (same IEEE ops, same order), and
+#   the >= threshold / > early-exit / > best comparisons take the
+#   same branches. Verified: 7,008-pair random+adversarial harness,
+#   0 ULP diffs; then fuzzy_find / full-refine equality vs the Python
+#   implementation for EVERY document (not just winners) at
+#   sf0.001/0.01/0.1 x 4 needles: 0 diffs.
+# * Candidate scan order, the exact-substring short-circuit, the
+#   anchor-prefix scan (pos-3 clamp, sorted-set dedup), the sparse
+#   fallback stride, the early-exit window cut, and the last_end
+#   carry are replayed with window functions + one list_reduce fold
+#   per doc (accepted span ends are strictly increasing, so last_end
+#   is the tail element — no nested acc iteration needed).
+# * Both greedy keep-best-non-overlap dedups are WITH RECURSIVE
+#   CTEs whose state rows carry the kept/remaining span lists;
+#   Python's stable sort-by-(-score) is replayed by an explicit
+#   (negsc, seq) struct sort key where seq pins the pre-sort order.
+# * snap_to_sentence is pure regexp arithmetic on the haystack.
+#
+# Honest scope: assumes the corpus text is ASCII with
+# normalize_py(text) == text (true for the driver fixtures at all
+# three SFs, asserted in tests/test_spans.py's generator pins), so
+# lower(text) is the haystack both engines see. The winner set is the
+# proven bm25_topk top-10 (rounded score DESC, doc_id ASC).
+
+
+def _jw_cte_chain(prefix: str, src: str) -> str:
+    """CTE chain computing jaro_winkler(a, b) for rows of `src`
+    (cols: doc_id, c, w, a, b) -> CTE `{prefix}jw` (doc_id, c, w, jw).
+    Bit-exact twin of operators/spans.jaro / jaro_winkler."""
+    p = prefix
+    return f"""{p}st0 AS MATERIALIZED (
+  SELECT doc_id, c, w, a, b, length(a) AS la, length(b) AS lb,
+         greatest((greatest(length(a), length(b)) // 2) - 1, 0) AS win
+  FROM {src}
+),
+{p}st1a AS MATERIALIZED (
+  SELECT *,
+         CASE WHEN la = 0 OR lb = 0 OR a = b THEN NULL ELSE
+           list_concat(
+             [{{'bm': 0::BIGINT, 'am': 0::BIGINT, 'cnt': 0}}],
+             list_transform(range(0, la), i -> {{
+               'bm': list_sum(list_transform(
+                       list_filter(range(greatest(0, i - win), least(lb, i + win + 1)),
+                                   j -> substr(b, j + 1, 1) = substr(a, i + 1, 1)),
+                       j -> (1::BIGINT << j)))::BIGINT,
+               'am': (1::BIGINT << i), 'cnt': 0}})
+           ) END AS melems
+  FROM {p}st0
+),
+{p}st1 AS MATERIALIZED (
+  SELECT * EXCLUDE (melems),
+         CASE WHEN melems IS NULL THEN NULL ELSE
+           list_reduce(melems,
+             (acc, x) -> CASE
+               WHEN (x.bm & ~acc.bm) != 0
+               THEN {{'bm': acc.bm | ((x.bm & ~acc.bm) & -(x.bm & ~acc.bm)),
+                     'am': acc.am | x.am, 'cnt': acc.cnt + 1}}
+               ELSE acc END
+           ) END AS mst
+  FROM {p}st1a
+),
+{p}st2 AS MATERIALIZED (
+  SELECT doc_id, c, w, a, b, la, lb,
+         CASE WHEN a = b THEN NULL ELSE mst.cnt END AS m,
+         CASE WHEN a = b OR la = 0 OR lb = 0 OR mst.cnt = 0 THEN NULL ELSE
+           len(list_filter(range(1, mst.cnt + 1), k ->
+             substr(a, list_filter(range(0, la), i -> (mst.am & (1::BIGINT << i)) != 0)[k] + 1, 1)
+             != substr(b, list_filter(range(0, lb), j -> (mst.bm & (1::BIGINT << j)) != 0)[k] + 1, 1)))
+         END AS tcnt
+  FROM {p}st1
+),
+{p}st3 AS MATERIALIZED (
+  SELECT doc_id, c, w,
+         CASE WHEN a = b THEN 1.0
+              WHEN la = 0 OR lb = 0 OR m = 0 THEN 0.0
+              ELSE (m / CAST(la AS DOUBLE) + m / CAST(lb AS DOUBLE)
+                    + (m - tcnt / 2.0) / CAST(m AS DOUBLE)) / 3.0 END AS j,
+         coalesce(list_filter(range(0, least(least(4, la), lb)),
+                              p -> substr(a, 1, p + 1) != substr(b, 1, p + 1))[1],
+                  least(least(4, la), lb)) AS prefix
+  FROM {p}st2
+),
+{p}jw AS (
+  SELECT doc_id, c, w, j + prefix * 0.1 * (1.0 - j) AS jw FROM {p}st3
+)"""
+
+
+def _fuzzy_find_cte_chain(
+    prefix: str, needle: str, threshold: float, early_exit: float
+) -> str:
+    """CTE chain replaying operators/spans.fuzzy_find(h, needle) per
+    doc of `haydocs(doc_id, h, lh)` -> CTE `{prefix}spans`
+    (doc_id, sp LIST<STRUCT(s, e, sc)>), one row per doc."""
+    import math as _math
+
+    p = prefix
+    n = needle.lower()
+    ln = len(n)
+    nl = n.replace("'", "''")
+    alen = min(8, max(2, ln // 6))
+    anchor = nl[:alen]
+    step = max(ln // 4, 1)
+    max_w = int(_math.ceil(1.3 * ln))
+    return f"""{p}exacta AS MATERIALIZED (
+  SELECT doc_id,
+         list_concat(
+           [[]::INT[]],
+           list_transform(
+             list_filter(range(0, greatest(lh - {ln} + 1, 0)),
+                         q -> substr(h, q + 1, {ln}) = '{nl}'),
+             q -> [q])) AS qls
+  FROM haydocs
+),
+{p}exact AS MATERIALIZED (
+  SELECT doc_id,
+         list_reduce(qls,
+           (acc, x) -> CASE WHEN len(acc) = 0 THEN x
+                            WHEN x[1] >= acc[len(acc)] + {ln}
+                            THEN list_concat(acc, x) ELSE acc END
+         ) AS ps
+  FROM {p}exacta
+),
+{p}cands AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(anch) > 0 THEN anch
+              ELSE range(0, greatest(lh - {ln} + 1, 1), {step}) END AS cs
+  FROM (
+    SELECT doc_id, lh,
+           list_sort(list_distinct(list_transform(
+             list_filter(range(0, greatest(lh - {alen} + 1, 0)),
+                         q -> substr(h, q + 1, {alen}) = '{anchor}'),
+             q -> greatest(q - 3, 0)))) AS anch
+    FROM haydocs
+  )
+),
+{p}cw AS MATERIALIZED (
+  SELECT d.doc_id, c.c, w.w, substr(d.h, c.c + 1, w.w) AS a,
+         '{nl}' AS b
+  FROM haydocs d
+  JOIN {p}exact x ON d.doc_id = x.doc_id AND len(x.ps) = 0
+  JOIN {p}cands cc ON d.doc_id = cc.doc_id
+  CROSS JOIN LATERAL (SELECT UNNEST(cc.cs) AS c) c
+  CROSS JOIN LATERAL (SELECT UNNEST(range({ln}, {max_w} + 1)) AS w) w
+  WHERE c.c + w.w <= d.lh
+),
+{_jw_cte_chain(p, p + "cw")},
+{p}best AS MATERIALIZED (
+  SELECT doc_id, c, w AS bw, jw AS sc FROM (
+    SELECT doc_id, c, w, jw,
+           min(CASE WHEN jw > {early_exit!r} THEN w END)
+             OVER (PARTITION BY doc_id, c) AS we
+    FROM {p}jw
+  ) t
+  WHERE (we IS NULL OR w <= we)
+),
+{p}bestpick AS MATERIALIZED (
+  SELECT doc_id, c, bw, sc FROM (
+    SELECT doc_id, c, bw, sc,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, c
+                              ORDER BY sc DESC, bw ASC) AS rn
+    FROM {p}best
+    WHERE sc >= {threshold!r}
+  ) WHERE rn = 1
+),
+{p}folda AS MATERIALIZED (
+  SELECT doc_id,
+         list_concat(
+           [[]::STRUCT(c INT, e INT, sc DOUBLE)[]],
+           list_transform(
+             list_sort(list(ROW(c, c + bw, sc)::STRUCT(c INT, e INT, sc DOUBLE))),
+             x -> [x])) AS cls
+  FROM {p}bestpick
+  GROUP BY doc_id
+),
+{p}fold AS MATERIALIZED (
+  SELECT doc_id,
+         list_reduce(cls,
+           (acc, x) -> CASE WHEN len(acc) = 0 THEN x
+                            WHEN x[1].c >= acc[len(acc)].e
+                            THEN list_concat(acc, x) ELSE acc END
+         ) AS sp
+  FROM {p}folda
+),
+{p}spans AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN len(x.ps) > 0
+              THEN list_transform(x.ps, q -> {{'s': q, 'e': q + {ln}, 'sc': 1.0}})
+              ELSE coalesce(
+                list_transform(f.sp, y -> {{'s': y.c, 'e': y.e, 'sc': y.sc}}),
+                []::STRUCT(s INT, e INT, sc DOUBLE)[])
+         END AS sp
+  FROM haydocs d
+  JOIN {p}exact x ON d.doc_id = x.doc_id
+  LEFT JOIN {p}fold f ON d.doc_id = f.doc_id
+)"""
+
+
+def _dedup_rec_cte(name: str, src: str) -> str:
+    """Recursive greedy keep-best-non-overlap dedup (Python
+    dedup_spans) over `{src}(doc_id, items LIST<STRUCT(negsc, seq, s,
+    e, sc)>)` -> CTE `{name}(doc_id, kept)` sorted by start; the
+    (negsc, seq) struct prefix replays Python's STABLE sort by
+    -score."""
+    st = "STRUCT(negsc DOUBLE, seq INT, s INT, e INT, sc DOUBLE)"
+    return f"""{name}_it AS (
+  SELECT doc_id, items AS remaining, []::{st}[] AS kept, 0 AS lvl
+  FROM {src}
+  UNION ALL
+  SELECT doc_id,
+         list_filter(remaining, r -> r.seq != pick.seq),
+         list_append(kept, pick),
+         lvl + 1
+  FROM (
+    SELECT doc_id, remaining, kept, lvl,
+           list_sort(list_filter(remaining,
+             r -> len(list_filter(kept, k -> NOT (r.e <= k.s OR r.s >= k.e))) = 0))[1] AS pick
+    FROM {name}_it
+  )
+  WHERE pick IS NOT NULL
+),
+{name} AS MATERIALIZED (
+  SELECT doc_id,
+         list_sort(list_transform(kept, k -> {{'s': k.s, 'e': k.e, 'sc': k.sc}})) AS kept
+  FROM (SELECT doc_id, kept,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lvl DESC) AS rn
+        FROM {name}_it)
+  WHERE rn = 1
+)"""
+
+
+def _fuzzy_spans_sql(
+    query_terms: list[str],
+    needle: str,
+    k: int,
+    threshold: float = FUZZY_THRESHOLD,
+    early_exit: float = FUZZY_EARLY_EXIT,
+    haydocs_sql: str | None = None,
+) -> str:
+    """Complete fuzzy_spans oracle: BM25 top-`k` winners for
+    `query_terms` (the proven _bm25_sql shape), then the refine_spans
+    pipeline for `needle` (phrase fuzzy_find; per-term fallback +
+    dedup when the phrase finds nothing; sentence snap; final dedup)
+    -> (doc_id, n_matches, best_score). `haydocs_sql` overrides the
+    winner-derived haystack CTE body (used by the pytest generator
+    pins to run over the whole corpus)."""
+    terms = [t for t in needle.lower().split() if t]
+    terms_list = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    if haydocs_sql is None:
+        haydocs_sql = f"""
+  SELECT d.doc_id, lower(d.text) AS h, length(d.text) AS lh
+  FROM documents d
+  JOIN win ON d.doc_id = win.doc_id"""
+    chains = [_fuzzy_find_cte_chain("np_", needle, threshold, early_exit)]
+    for i, t in enumerate(terms):
+        chains.append(_fuzzy_find_cte_chain(f"t{i}_", t, threshold, early_exit))
+    if len(terms) > 1:
+        cat = "list_concat(" * (len(terms) - 1) + "t0.sp"
+        for i in range(1, len(terms)):
+            cat += f", t{i}.sp)"
+        fb_joins = "\n".join(
+            f"  JOIN t{i}_spans t{i} ON p.doc_id = t{i}.doc_id"
+            for i in range(len(terms))
+        )
+        fallback = f""",
+fb_in AS MATERIALIZED (
+  SELECT p.doc_id, {cat} AS cat
+  FROM np_spans p
+{fb_joins}
+  WHERE len(p.sp) = 0
+),
+fb_items AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(1, len(cat) + 1),
+           i -> {{'negsc': -cat[i].sc, 'seq': i, 's': cat[i].s,
+                 'e': cat[i].e, 'sc': cat[i].sc}}) AS items
+  FROM fb_in
+),
+{_dedup_rec_cte("fb_dd", "fb_items")},
+pre AS MATERIALIZED (
+  SELECT p.doc_id,
+         CASE WHEN len(p.sp) > 0 THEN p.sp
+              ELSE coalesce(d.kept, []::STRUCT(s INT, e INT, sc DOUBLE)[]) END AS sp
+  FROM np_spans p
+  LEFT JOIN fb_dd d ON p.doc_id = d.doc_id
+)"""
+    else:
+        fallback = """,
+pre AS MATERIALIZED (SELECT doc_id, sp FROM np_spans)"""
+    left_i0 = "length(regexp_replace(substr(hd.h, 1, sp[i].s), '[^.!?]*$', ''))"
+    chains_sql = ",\n".join(chains)
+    right_nonend = "length(regexp_extract(substr(hd.h, sp[i].e + 1), '^[^.!?]*'))"
+    return f"""
+WITH RECURSIVE {_TF_CTE},
+q AS (SELECT unnest([{terms_list}]) AS term),
+scores AS (
+    SELECT tf.doc_id,
+           SUM( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {K1 + 1.0}
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+    FROM tf
+    JOIN q USING (term)
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+win AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, floor((s) * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM scores
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {k}
+    )
+),
+haydocs AS MATERIALIZED ({haydocs_sql}
+),
+{chains_sql}{fallback},
+snapped AS MATERIALIZED (
+  SELECT pre.doc_id,
+         list_transform(range(1, len(sp) + 1), i -> {{
+           'negsc': -sp[i].sc,
+           'seq': i,
+           's': CAST(
+             {left_i0}
+             + length(regexp_extract(
+                 substr(hd.h, {left_i0} + 1, sp[i].s - {left_i0}),
+                 '^[ \t\n]*')) AS INT),
+           'e': CAST(
+             CASE WHEN {right_nonend} = hd.lh - sp[i].e
+                  THEN hd.lh
+                  ELSE sp[i].e + {right_nonend} + 1
+                       + length(regexp_extract(
+                           substr(hd.h, sp[i].e + {right_nonend} + 2),
+                           '^["'')\\]]*'))
+             END AS INT),
+           'sc': sp[i].sc}}) AS items
+  FROM pre JOIN haydocs hd ON pre.doc_id = hd.doc_id
+),
+{_dedup_rec_cte("fin_dd", "snapped")}
+SELECT s.doc_id,
+       CAST(len(coalesce(d.kept, []::STRUCT(s INT, e INT, sc DOUBLE)[])) AS INT) AS n_matches,
+       floor(coalesce(list_max(list_transform(d.kept, k -> k.sc)), 0.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS best_score
+FROM snapped s LEFT JOIN fin_dd d ON s.doc_id = d.doc_id
+"""
+
+
+ORACLE_SQL["fuzzy_spans"] = _fuzzy_spans_sql(
+    _FLAGSHIP_TERMS, "filter window", DEFAULT_TOP_K
+)

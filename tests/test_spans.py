@@ -374,3 +374,72 @@ def test_proximity_indexed_equals_on_the_fly(spark, tmp_path):
         for r in proximity_search_indexed(spark, d, "filter", "join", 2).collect()
     )
     assert live == idx and live  # non-empty and identical
+
+
+def test_fuzzy_spans_sql_generator_other_params(spark, sf_dir):
+    """Second parameter point for the fuzzy_spans hard oracle
+    (registry instance: flagship winners, needle 'filter window',
+    threshold 0.85): needle 'sort merge' at threshold 0.8 over the
+    WHOLE sf0.001 corpus (haydocs override — 500 docs, not 10
+    winners), Spark refine_spans vs the unrolled DuckDB twin. This
+    pin drives every branch the registry instance may not: the
+    exact-phrase short-circuit ('sort merge' occurs literally),
+    the sparse-candidate fallback (docs without the 'so' anchor),
+    sub-1.0 Jaro-Winkler bests, and empty results — and asserts each
+    branch is non-trivially represented."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from semantic_pdf_search_engine_spark.functions.rounding import round_half_up
+    from semantic_pdf_search_engine_spark.registry import (
+        _FLAGSHIP_TERMS,
+        _fuzzy_spans_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = refine_spans(docs, "sort merge", threshold=0.8).select(
+        "doc_id",
+        F.size("matches").alias("n_matches"),
+        round_half_up(
+            F.coalesce(F.array_max(F.col("matches.score")), F.lit(0.0)), 6
+        ).alias("best_score"),
+    )
+    got = {r["doc_id"]: (r["n_matches"], r["best_score"]) for r in out.collect()}
+
+    sql = _fuzzy_spans_sql(
+        _FLAGSHIP_TERMS,
+        "sort merge",
+        10,
+        threshold=0.8,
+        haydocs_sql="SELECT doc_id, lower(text) AS h, length(text) AS lh FROM documents",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {d: (nm, bs) for d, nm, bs in con.execute(sql).fetchall()}
+    assert got == want and len(got) == 500
+    bests = [bs for _, bs in got.values()]
+    assert any(bs == 1.0 for bs in bests)  # exact-phrase / exact-term branch
+    assert any(0.0 < bs < 1.0 for bs in bests)  # Jaro-Winkler window branch
+    assert any(bs == 0.0 for bs in bests)  # no-span branch
+
+
+def test_fuzzy_spans_oracle_fixture_scope_assumptions(sf_dir):
+    """The fuzzy_spans oracle's documented scope: fixture text is
+    ASCII, already lowercase, and normalize_py-invariant, so both
+    engines see lower(text) as the haystack with 1 char == 1 byte ==
+    1 offset. Pin it so a fixture change can't silently break the
+    scope argument."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    assert len(rows) > 0
+    for (t,) in rows:
+        assert t is not None and t.isascii() and t == t.lower()
+        assert normalize_py(t) == t
