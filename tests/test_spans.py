@@ -443,3 +443,73 @@ def test_fuzzy_spans_oracle_fixture_scope_assumptions(sf_dir):
     for (t,) in rows:
         assert t is not None and t.isascii() and t == t.lower()
         assert normalize_py(t) == t
+
+
+def test_fuzzy_spans_sql_snap_branch_synthetic_docs():
+    """The driver fixtures contain no sentence enders, so on them the
+    snap stage degenerates to whole-doc spans and the final dedup
+    keeps exactly one. Pin the GENERAL snap arithmetic of the SQL
+    twin — previous-ender left walk + whitespace skip, next-ender
+    right walk, closing-quote/paren absorption, multi-span survival —
+    against the Python composition on 150 seeded synthetic docs WITH
+    '.', '!', '?' and closing chars. 100+ docs end up with multiple
+    surviving spans, so the branch is non-trivially represented."""
+    import math
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from semantic_pdf_search_engine_spark.registry import (
+        _FLAGSHIP_TERMS,
+        _fuzzy_spans_sql,
+    )
+
+    words = (
+        "sort merge row scan key hash join table part filter window value "
+        "fast slow agg group spark line batch data query"
+    ).split()
+    rng = random.Random(41)
+    docs = []
+    for d in range(150):
+        toks = []
+        for _ in range(rng.randint(30, 90)):
+            toks.append(rng.choice(words))
+            if rng.random() < 0.12:
+                toks[-1] += rng.choice([".", "!", "?", '."', ".)", "?']"])
+        docs.append((d, " ".join(toks)))
+    # the oracle's documented scope must hold for the synthetic corpus
+    for _, t in docs:
+        assert t.isascii() and t == t.lower() and normalize_py(t) == t
+
+    def py_refine(h, np, thr):
+        terms = [t for t in np.lower().split() if t]
+        spans = fuzzy_find(h, np, thr)
+        if not spans and len(terms) > 1:
+            pt = []
+            for t in terms:
+                pt.extend(fuzzy_find(h, t, thr))
+            spans = dedup_spans(pt)
+        spans = dedup_spans(
+            [(*snap_to_sentence(h, s, e), sc) for s, e, sc in spans]
+        )
+        best = max((sc for _, _, sc in spans), default=0.0)
+        return len(spans), math.floor(best * 1e6 + 0.5) / 1e6
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    for needle, thr in [("sort merge", 0.8), ("filter window", 0.85)]:
+        sql = _fuzzy_spans_sql(
+            _FLAGSHIP_TERMS,
+            needle,
+            10,
+            threshold=thr,
+            haydocs_sql=(
+                "SELECT doc_id, lower(text) AS h, length(text) AS lh "
+                "FROM documents"
+            ),
+        )
+        got = {d: (nm, bs) for d, nm, bs in con.execute(sql).fetchall()}
+        want = {d: py_refine(t, needle, thr) for d, t in docs}
+        assert got == want
+        assert sum(1 for nm, _ in want.values() if nm > 1) >= 100
