@@ -46,23 +46,25 @@ def main() -> None:
     for name in names:
         fn = registry.QUERIES[name]
         rec: dict = {}
+        plans = []
         passes = []
         jobs = []
         for p in range(2):
             sc.setJobDescription(f"extra:{name}:p{p}")
+            j0 = set(tracker.getJobIdsForGroup(None) or [])
             tp = time.time()
             df = fn(spark, SF_DIR)
-            plan_sec = time.time() - tp
-            j0 = set(tracker.getJobIdsForGroup(None) or [])
+            plans.append(round(time.time() - tp, 3))
             tc = time.time()
             df.collect()
             passes.append(round(time.time() - tc, 3))
             j1 = set(tracker.getJobIdsForGroup(None) or [])
             jobs.append(len(j1 - j0))
-            if p == 0:
-                rec["plan_sec"] = round(plan_sec, 3)
+        rec["plan0"] = plans[0]
+        rec["plan1"] = plans[1]
         rec["pass0"] = passes[0]
         rec["pass1"] = passes[1]
+        rec["total1"] = round(plans[1] + passes[1], 3)
         rec["jobs"] = jobs[1]
         out[name] = rec
         sc.setJobDescription(None)
@@ -72,14 +74,17 @@ def main() -> None:
     (REPO / "BENCH" / "extra_latest.json").write_text(
         json.dumps(payload, indent=1) + "\n"
     )
-    print(f"{'query':28s} {'plan':>6s} {'pass0':>7s} {'pass1':>7s} {'jobs':>4s}")
-    for name, r in sorted(out.items(), key=lambda kv: -kv[1]["pass1"]):
+    print(
+        f"{'query':28s} {'plan0':>6s} {'plan1':>6s} {'pass0':>7s} "
+        f"{'pass1':>7s} {'tot1':>7s} {'jobs':>4s}"
+    )
+    for name, r in sorted(out.items(), key=lambda kv: -kv[1]["total1"]):
         print(
-            f"{name:28s} {r['plan_sec']:6.2f} {r['pass0']:7.2f} "
-            f"{r['pass1']:7.2f} {r['jobs']:4d}"
+            f"{name:28s} {r['plan0']:6.2f} {r['plan1']:6.2f} {r['pass0']:7.2f} "
+            f"{r['pass1']:7.2f} {r['total1']:7.2f} {r['jobs']:4d}"
         )
-    tot = sum(r["pass1"] for r in out.values())
-    print(f"total pass1: {tot:.1f}s over {len(out)} queries; warm={warm}s")
+    tot = sum(r["total1"] for r in out.values())
+    print(f"total (plan1+pass1): {tot:.1f}s over {len(out)} queries; warm={warm}s")
     spark.stop()
 
 

@@ -328,13 +328,82 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "arrow",
+) -> DataFrame:
     """(doc_id, simhash) — 16-bit tf-weighted sign fingerprint.
 
     bit j of a term = (j-th md5 nibble ≥ 8); S_j = Σ_terms tf·(2·bit−1);
     output bit j set iff S_j > 0. Integer arithmetic throughout →
     exact DuckDB twin.
+
+    mode='arrow' (default, r6): the fingerprint is a PER-DOCUMENT
+    function of the doc's own term counts, so it is computed entirely
+    inside one Arrow pass — tokenize, count, fold the 16 md5-nibble
+    signs per doc — with a cross-batch md5 memo over the (Heaps-law
+    sublinear) vocabulary. ZERO shuffles, versus the column form's
+    16-way bit explode + two corpus-keyed groupBys (the explode
+    multiplied the exchange input 16×). mode='column' keeps the
+    pure-Column spec the DuckDB oracle mirrors; both modes are pinned
+    exactly equal in tests/test_dedup.py.
     """
+    if mode == "arrow":
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from semantic_pdf_search_engine_spark.functions.tokenize import (
+            tokenize_py,
+        )
+
+        id_type = docs.schema[id_col].dataType.simpleString()
+
+        def gen(batches):
+            from collections import Counter
+
+            # md5-sign memo: term → int16 bit pattern of (nibble_j >= 8)
+            memo: dict[str, np.ndarray] = {}
+
+            def signs(term: str) -> np.ndarray:
+                v = memo.get(term)
+                if v is None:
+                    h = hashlib.md5(term.encode()).hexdigest()
+                    v = np.array(
+                        [1 if int(c, 16) >= 8 else -1 for c in h[:16]],
+                        dtype=np.int64,
+                    )
+                    memo[term] = v
+                return v
+
+            for pdf in batches:
+                ids, fps = [], []
+                for did, text in zip(
+                    pdf[id_col].tolist(), pdf[text_col].tolist()
+                ):
+                    counts = Counter(tokenize_py(text, normalize=False))
+                    if not counts:
+                        continue  # zero-token docs have no fingerprint row
+                    s = np.zeros(16, dtype=np.int64)
+                    for term, tf in counts.items():
+                        s += tf * signs(term)
+                    bits = (s > 0).astype(np.int64)
+                    fps.append(int((bits << np.arange(16)).sum()))
+                    ids.append(did)
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                        "simhash": pd.Series(fps, dtype="int64"),
+                    }
+                )
+
+        return docs.select(id_col, text_col).mapInPandas(
+            gen, schema=f"{id_col} {id_type}, simhash long"
+        )
+
     from semantic_pdf_search_engine_spark.operators.bm25 import tf_df
 
     tf = tf_df(docs, id_col, text_col).withColumn(
@@ -509,7 +578,11 @@ def dup_passage_stats(
     fingerprints; only docs with >= 1 window (len >= k tokens) appear.
 
     Shuffle profile (one linear pipeline, no branch recompute):
-      1. groupBy(fp, id) occurrence counts — md5 key, uniform;
+      1. per-(doc, fp) occurrence counts computed INSIDE the Arrow
+         window pass (r6: a doc is one input row, so its window
+         multiset is complete in-batch — full map-side aggregation;
+         the former groupBy(fp, id) exchange over every occurrence is
+         gone and the first shuffle moves one row per (doc, fp));
       2. count(*) OVER (PARTITION BY fp) on the (fp, doc) AGGREGATE
          (corpus-wide per-window doc count; input already compressed to
          one row per (fp, doc), so a boilerplate passage shared by a
@@ -518,7 +591,12 @@ def dup_passage_stats(
     Per-doc totals come straight from the token count (len - k + 1, a
     narrow Column expr over the docs scan) — no second windows pass.
     Hard DuckDB oracle (registry `dup_passages`)."""
+    import hashlib
+
+    import pandas as pd
     from pyspark.sql.window import Window
+
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
 
     toks = tokens_expr(F.col(text_col))
     tot = docs.select(
@@ -526,10 +604,35 @@ def dup_passage_stats(
         (F.size(toks) - F.lit(k - 1)).cast("long").alias("n_windows"),
     ).filter(F.col("n_windows") >= 1)
 
-    per_fp_doc = (
-        passage_windows(docs, k, id_col, text_col)
-        .groupBy("fp", id_col)
-        .agg(F.count("*").cast("long").alias("occ"))
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, fps, occs = [], [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                toks_l = tokenize_py(text, normalize=False)
+                c = Counter(
+                    hashlib.md5(
+                        " ".join(toks_l[j : j + k]).encode()
+                    ).hexdigest()
+                    for j in range(len(toks_l) - k + 1)
+                )
+                for fp, occ in c.items():
+                    ids.append(did)
+                    fps.append(fp)
+                    occs.append(occ)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "fp": fps,
+                    "occ": pd.Series(occs, dtype="int64"),
+                }
+            )
+
+    per_fp_doc = _ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, fp string, occ long"
     )
     flagged = per_fp_doc.withColumn(
         "n_docs", F.count("*").over(Window.partitionBy("fp"))
@@ -572,13 +675,15 @@ def repetition_metrics(
     OCCURRENCES, not characters. Docs contribute a row per n only when
     they have >= 1 n-gram of that size.
 
-    One Arrow pass emits (id, n, md5(gram)) for every size in `ns`
-    (fixed-width uniform shuffle keys); then groupBy(id, n, fp) counts
-    (hot key bounded by one document's repetition of one gram) and a
-    partial-agg groupBy(id, n) roll-up. Hard DuckDB oracle (registry
-    `repetition_metrics`)."""
-    import hashlib
-
+    Every output column is a PER-DOCUMENT function of that doc's own
+    n-gram counts, so (r6) the integer stats (total/distinct/top) are
+    computed inside ONE Arrow pass — a Counter per (doc, n), no gram
+    rows ever emitted, no md5, ZERO shuffles (the former shape shuffled
+    the full gram-occurrence stream through groupBy(id, n, fp) + a
+    second roll-up; counting by gram string ≡ counting by its md5).
+    The fractions stay the SAME JVM round_half_up expressions as
+    before, so the compared floats are bit-identical. Hard DuckDB
+    oracle (registry `repetition_metrics`)."""
     import pandas as pd
 
     from semantic_pdf_search_engine_spark.functions.tokenize import tokenize_py
@@ -587,37 +692,40 @@ def repetition_metrics(
     sizes = tuple(sorted(set(ns)))
 
     def gen(batches):
+        from collections import Counter
+
         for pdf in batches:
-            ids, nn, fps = [], [], []
+            ids, nn, tot, dis, top = [], [], [], [], []
             for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
                 toks = tokenize_py(text, normalize=False)
                 for n in sizes:
-                    for j in range(len(toks) - n + 1):
-                        ids.append(did)
-                        nn.append(n)
-                        fps.append(
-                            hashlib.md5(
-                                " ".join(toks[j : j + n]).encode()
-                            ).hexdigest()
-                        )
+                    total = len(toks) - n + 1
+                    if total < 1:
+                        continue
+                    c = Counter(
+                        " ".join(toks[j : j + n]) for j in range(total)
+                    )
+                    ids.append(did)
+                    nn.append(n)
+                    tot.append(total)
+                    dis.append(len(c))
+                    top.append(max(c.values()))
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                     "n": pd.Series(nn, dtype="int32"),
-                    "fp": fps,
+                    "total_ngrams": pd.Series(tot, dtype="int64"),
+                    "distinct_ngrams": pd.Series(dis, dtype="int64"),
+                    "top_count": pd.Series(top, dtype="int64"),
                 }
             )
 
-    grams = _ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(
-        gen, schema=f"{id_col} {id_type}, n int, fp string"
-    )
-    counts = grams.groupBy(id_col, "n", "fp").agg(
-        F.count("*").cast("long").alias("c")
-    )
-    stats = counts.groupBy(id_col, "n").agg(
-        F.sum("c").cast("long").alias("total_ngrams"),
-        F.count("*").cast("long").alias("distinct_ngrams"),
-        F.max("c").cast("long").alias("top_count"),
+    stats = _ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_type}, n int, total_ngrams long, "
+            "distinct_ngrams long, top_count long"
+        ),
     )
     return stats.select(
         id_col,
@@ -733,56 +841,68 @@ def connected_components(
     canonical representative). Singletons (docs in no pair) keep
     themselves.
 
-    Scale shape: each round is one join edges⋈labels + a groupBy(dst)
-    min + a left join back — all shuffles on node ids (uniform).
-    Rounds needed = graph diameter; near-dup clusters are
-    shallow-diameter by construction (dense similarity cliques), so
-    convergence is a handful of rounds. When the diameter budget runs
-    out (adversarially chain-shaped dup graphs — crawl mirrors), the
-    computation FALLS BACK to the large-star/small-star contraction
-    below (connected_components_star — same per-round primitives,
-    O(log²n) proven / ~O(log n) observed rounds) instead of raising.
-    Labels are localCheckpoint-ed per round (lineage would otherwise
-    double every iteration); convergence is detected by a changed-row
-    count."""
-    lab = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lab")
-    ).localCheckpoint()
-    e = (
+    Scale shape (r6): the edge table carries one SELF-LOOP per node, so
+    each round is a single join edges⋈labels + ONE groupBy(dst) min —
+    the self-loop row delivers the node's own label into its group,
+    replacing the former left-join-back (one exchange fewer per round).
+    Change detection and convergence ride the SAME materialization: the
+    per-round job is the label localCheckpoint, with the changed-node
+    count attached as an Observation (no separate probe job). Edge
+    endpoints are restricted to `ids` once, up front — non-id endpoints
+    never conducted labels in the join-back form either (their labels
+    were never stored), so the semantics are unchanged. All shuffles
+    stay on node ids (uniform). Rounds needed = graph diameter;
+    near-dup clusters are shallow-diameter by construction (dense
+    similarity cliques), so convergence is a handful of rounds. When
+    the diameter budget runs out (adversarially chain-shaped dup graphs
+    — crawl mirrors), the computation FALLS BACK to the
+    large-star/small-star contraction below (connected_components_star
+    — same per-round primitives, O(log²n) proven / ~O(log n) observed
+    rounds) instead of raising."""
+    import gc
+
+    from pyspark.sql import Observation
+
+    nodes = ids.select(F.col(id_col).alias("node")).localCheckpoint()
+    # duplicate edges are harmless to a min aggregation — no distinct
+    sym = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .join(nodes.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
     )
+    e = sym.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
+    lab = nodes.select(F.col("node"), F.col("node").alias("lab"))
     for _ in range(max_iter):
-        cand = (
-            e.join(lab, e["src"] == lab["node"])
-            .groupBy("dst")
-            .agg(F.min("lab").alias("nlab"))
+        joined = e.join(lab, F.col("src") == F.col("node")).select(
+            "src", "dst", "lab"
         )
-        # change detection rides along in the SAME propagation pass (a
-        # `chg` flag column) instead of a per-round join of new-vs-old
-        # labels; the convergence probe then only filters the already-
-        # checkpointed blocks
-        upd = F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab")))
         new = (
-            lab.join(cand, lab["node"] == cand["dst"], "left")
-            .select(
-                F.col("node"),
-                upd.alias("newlab"),
-                (upd < F.col("lab")).cast("int").alias("chg"),
+            joined.groupBy("dst")
+            .agg(
+                F.min("lab").alias("lab"),
+                # the self-loop row (dst, dst) carries the node's OWN
+                # previous label — present in every group by construction
+                F.max(
+                    F.when(F.col("src") == F.col("dst"), F.col("lab"))
+                ).alias("_own"),
             )
-            .withColumnRenamed("newlab", "lab")
-            .localCheckpoint()
+            .select(
+                F.col("dst").alias("node"),
+                "lab",
+                (F.col("lab") < F.col("_own")).cast("int").alias("chg"),
+            )
         )
-        changed = new.filter(F.col("chg") == 1).limit(1).count()
+        obs = Observation()
+        new = new.observe(obs, F.sum("chg").alias("nchg")).localCheckpoint()
+        changed = int(obs.get["nchg"] or 0)
         lab = new.drop("chg")
         # the previous round's checkpointed blocks are orphaned once
         # `lab` rebinds; a prompt driver GC lets the ContextCleaner
         # release them so long chains hold ~2 label copies, not
         # max_iter copies
-        import gc
-
         gc.collect()
         if changed == 0:
             return lab.select(
@@ -820,66 +940,74 @@ def connected_components_star(
     id — so the final labeling (node → its min neighbor, self if
     isolated) equals min-label's answer exactly (pinned by test).
 
-    Scale shape: each phase is one groupBy(node) min + one join on
-    node ids — the same uniform-key shuffles as min-label, edge-set
-    sized. Convergence = edge-set fixpoint, detected by a cheap
-    (count, hash-sum) checksum and CONFIRMED by an exact two-sided
-    exceptAll only at the candidate round (checksum collisions cannot
-    cause a wrong early stop). Edges are localCheckpoint-ed per round
-    (iterative lineage), orphaned blocks GC'd like min-label."""
+    Scale shape (r6): each phase is ONE window-min over the edge rows
+    partitioned by node — `min(b) OVER (PARTITION BY a)` replaces the
+    former groupBy(a)+join-back pair (the window's single exchange
+    carries the same uniform node-id key; per-group state is one
+    minimum, never a sort of the corpus). One localCheckpoint per round
+    (the mid-round e1 barrier is gone — both small-star consumers read
+    the same windowed projection), with the (count, hash-sum) checksum
+    attached to that materialization as an Observation instead of a
+    separate collect job. Convergence = edge-set fixpoint, checksum
+    cheap-reject + exact two-sided exceptAll CONFIRMATION at the
+    candidate round (checksum collisions cannot cause a wrong early
+    stop). Orphaned blocks GC'd like min-label."""
     import gc
+
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
 
     def _clean(e: DataFrame) -> DataFrame:
         return (
             e.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
         )
 
+    def _observed_checkpoint(edges: DataFrame):
+        # pmod bounds each term < 2^31 so the int64 sum cannot overflow
+        # under ANSI mode below ~2^32 edges (this is a cheap-reject
+        # filter only; equality is CONFIRMED exactly before stopping)
+        obs = Observation()
+        out = edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 31))).alias("h"),
+        ).localCheckpoint()
+        m = obs.get
+        return out, (m["n"], m["h"])
+
     # ids keep their NATIVE type (any orderable column — long doc ids,
     # string hashes): a cast here would null non-numeric ids and
     # silently label every doc a singleton (all duplicates retained) —
     # min-label is type-generic and this path must be too, since
     # connected_components auto-falls back into it
-    e = _clean(pairs.select("a", "b")).localCheckpoint()
+    e, chk = _observed_checkpoint(_clean(pairs.select("a", "b")))
 
-    def _checksum(edges: DataFrame):
-        # pmod bounds each term < 2^31 so the int64 sum cannot overflow
-        # under ANSI mode below ~2^32 edges (this is a cheap-reject
-        # filter only; equality is CONFIRMED exactly before stopping)
-        r = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 31))).alias("h"),
-        ).collect()[0]
-        return (r["n"], r["h"])
-
-    chk = _checksum(e)
+    w = Window.partitionBy("a")
     for _ in range(max_iter):
         # -- large-star ---------------------------------------------------
+        # m(a) = min(Γ(a) ∪ {a}) via window-min; every edge to a larger
+        # neighbor v > a is replaced by (v, m(a))
         sym = e.unionByName(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        m = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("mn"))
-            .select("a", F.least("a", "mn").alias("m"))
-        )
         ls = (
-            sym.join(m, "a")
+            sym.withColumn("_m", F.least(F.col("a"), F.min("b").over(w)))
             .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
         )
-        e1 = _clean(ls).localCheckpoint()
         # -- small-star ---------------------------------------------------
+        # duplicates in ls are harmless here: the window min is
+        # multiplicity-insensitive and the final _clean dedupes — so the
+        # former mid-round distinct+checkpoint barrier is unnecessary
+        e1 = ls.filter(F.col("a") != F.col("b"))
         dirr = e1.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
-        m2 = dirr.groupBy("a").agg(F.min("b").alias("m"))
-        ss = (
-            dirr.join(m2, "a")
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .unionByName(m2.select(F.col("a"), F.col("m").alias("b")))
-        )
-        e_new = _clean(ss).localCheckpoint()
-        new_chk = _checksum(e_new)
+        ssw = dirr.withColumn("_m", F.min("b").over(w))
+        ss = ssw.select(
+            F.col("b").alias("a"), F.col("_m").alias("b")
+        ).unionByName(ssw.select("a", F.col("_m").alias("b")))
+        e_new, new_chk = _observed_checkpoint(_clean(ss))
         converged = False
         if new_chk == chk:
             # candidate fixpoint — confirm exactly (distinct sets, so
