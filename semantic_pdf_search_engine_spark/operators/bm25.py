@@ -56,6 +56,38 @@ def dl_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def tf_dl_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf, dl) — term frequencies with the doc length CARRIED
+    THROUGH the aggregation key (dl is functionally dependent on id, so
+    adding it to the groupBy changes nothing about the tf rows). One
+    corpus tokenization feeds both tf and dl, and the scoring tail no
+    longer joins a separate dl table on id — one less corpus scan and
+    one less join per retrieval (r6; guide §2.4). The token array is
+    materialized in its own projection below the explode so `size` and
+    the generator share ONE evaluation (Catalyst keeps the split
+    because the alias is referenced twice). explode_OUTER, not explode:
+    InferFiltersFromGenerate would otherwise inject a
+    `size(tokens) > 0` filter that re-evaluates the tokenizer TWICE
+    more per row (the predicate is over a derived expression, so it
+    cannot push to parquet); the outer form instead emits one NULL-term
+    row per empty doc, and NULL terms can never survive the term
+    equi-joins every consumer applies."""
+    return (
+        docs.select(
+            F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
+        )
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("int").alias("dl"),
+            F.explode_outer("_toks").alias("term"),
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
 def docfreq_df(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(term, df) document frequencies — tf already has one row per
     (doc, term), so df = plain count, no count-distinct shuffle."""
@@ -104,6 +136,114 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+# Above this many distinct query terms the literal-columns fast path
+# (one tf expression per term) stops paying for itself and the
+# relational explode+join spine takes over. Serving queries are a
+# handful of terms; the constant only selects between two
+# result-identical plans.
+LITERAL_TERMS_MAX = 32
+
+
+def _tf_base(
+    docs: DataFrame, q_terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """(id, dl, _tf0.._tfN) — per-document query-term frequencies as
+    PLAIN COLUMNS over one tokenization: tf_i = |{tokens == t_i}| via
+    a higher-order filter over the materialized token array. No
+    explode, no (doc, term) groupBy, no join — the whole literal-terms
+    BM25 pipeline becomes scan-local (guide §2.4: remove the shuffle
+    outright). The token array is aliased in its own projection so the
+    k+2 consumers share ONE evaluation."""
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    return docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").cast("int").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_toks"), _eq(t))).cast("int").alias(f"_tf{i}")
+            for i, t in enumerate(q_terms)
+        ],
+    )
+
+
+def _literal_scores(
+    docs: DataFrame,
+    q_terms: list[str],
+    id_col: str,
+    text_col: str,
+    round_scores: bool,
+    scope,
+    scope_ids: DataFrame | None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Literal-terms BM25 scoring with ZERO corpus shuffles: one
+    full-corpus aggregate produces (n_docs, avgdl, df_i...) as a single
+    broadcast row; candidates are a scan-side filter (any tf_i > 0)
+    over the same per-doc tf columns; the score is a fixed-order sum of
+    per-term contributions (absent terms contribute exactly 0.0). The
+    only exchange in the plan is the 1-row stats aggregation.
+    `extra_cols` are docs columns carried through to the scored output
+    (facet/collapse keys — saves the join back to docs)."""
+    base_all = _tf_base(docs, q_terms, id_col, text_col)
+    stats = base_all.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, F.lit(1)))
+            .cast("long")
+            .alias(f"_df{i}")
+            for i in range(len(q_terms))
+        ],
+    )
+    src = docs.filter(scope) if scope is not None else docs
+    if extra_cols:
+        cand = src.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            tokens_expr(F.col(text_col)).alias("_toks"),
+        ).select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.size("_toks").cast("int").alias("dl"),
+            *[
+                F.size(
+                    F.filter(F.col("_toks"), (lambda t: lambda x: x == F.lit(t))(t))
+                )
+                .cast("int")
+                .alias(f"_tf{i}")
+                for i, t in enumerate(q_terms)
+            ],
+        )
+    else:
+        cand = _tf_base(src, q_terms, id_col, text_col)
+    if scope_ids is not None:
+        cand = cand.join(scope_ids.select(id_col), id_col, "left_semi")
+    match_any = None
+    for i in range(len(q_terms)):
+        c = F.col(f"_tf{i}") > 0
+        match_any = c if match_any is None else (match_any | c)
+    cand = cand.filter(match_any)
+
+    score = None
+    for i in range(len(q_terms)):
+        contrib = bm25_contrib_expr(
+            F.col(f"_tf{i}").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("avgdl"),
+            idf_expr(F.col("n_docs"), F.col(f"_df{i}").cast("double")),
+        )
+        score = contrib if score is None else (score + contrib)
+    if round_scores:
+        score = round_half_up(score, SCORE_DECIMALS)
+    return cand.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), *[F.col(c) for c in (extra_cols or [])], score.alias("score")
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query: str,
@@ -112,22 +252,34 @@ def bm25_scores(
     round_scores: bool = True,
     scope=None,
     scope_ids: DataFrame | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, score) for every candidate document matching >=1 query term
     — bm25_topk without the final rank/limit, for consumers that rank
-    under a different order (e.g. per-conversation collapse)."""
+    under a different order (e.g. per-conversation collapse).
+
+    Literal query terms take the scan-local fast path (_literal_scores:
+    per-term tf columns + one broadcast stats row — zero corpus
+    shuffles); queries wider than LITERAL_TERMS_MAX distinct terms take
+    the relational explode+join spine. Both produce identical rows."""
     spark = docs.sparkSession
     q_terms = sorted(set(tokenize_py(query)))
     if not q_terms:
         # empty-query guard — reference parity (search.rs:20-22)
         return spark.createDataFrame([], f"{id_col} long, score double")
+    if len(q_terms) <= LITERAL_TERMS_MAX:
+        return _literal_scores(
+            docs, q_terms, id_col, text_col, round_scores, scope, scope_ids,
+            extra_cols,
+        )
 
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
+    tf = tf_dl_df(docs, id_col, text_col)
     # restrict docfreq to query terms BEFORE the broadcast — we ship k
-    # rows to every executor, not the whole vocabulary
+    # rows to every executor, not the whole vocabulary. Built over the
+    # SAME tf-with-dl subtree as the candidate stream, so the two
+    # branches share one exchange (ReusedExchange).
     dfreq = docfreq_df(tf, id_col).filter(F.col("term").isin(q_terms))
-    stats = dl.agg(
+    stats = dl_df(docs, id_col, text_col).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -142,12 +294,15 @@ def bm25_scores(
         candidates = candidates.join(scope_ids.select(id_col), id_col, "left_semi")
     # the broadcast join to the query-restricted dfreq both filters the
     # candidate stream to the query terms and attaches their df
-    return score_over_terms(candidates, dl, dfreq, stats, id_col, round_scores)
+    scored = score_over_terms(candidates, None, dfreq, stats, id_col, round_scores)
+    if extra_cols:
+        scored = scored.join(docs.select(id_col, *extra_cols), id_col)
+    return scored
 
 
 def score_over_terms(
     tf_candidates: DataFrame,
-    dl: DataFrame,
+    dl: DataFrame | None,
     dfreq_q: DataFrame,
     stats: DataFrame,
     id_col: str = "doc_id",
@@ -159,6 +314,8 @@ def score_over_terms(
     (literal query terms, a doc's top TF-IDF terms, a prefix
     expansion...), summed per doc. The query-term set rides a
     broadcast; only matching tf rows reach the score agg.
+    `dl=None` (the r6 fast shape) means the candidate stream already
+    carries its `dl` column (tf_dl_df) — no per-doc length join at all.
     `weight_col` (optional column of dfreq_q) scales each term's
     contribution — weighted-query BM25 (Rocchio feedback, boosts)."""
     qcols = ["term", "df"] + ([weight_col] if weight_col else [])
@@ -170,10 +327,11 @@ def score_over_terms(
     )
     if weight_col:
         contrib = F.col(weight_col) * contrib
+    scored = tf_candidates.join(F.broadcast(dfreq_q.select(*qcols)), "term")
+    if dl is not None:
+        scored = scored.join(dl, id_col)
     scored = (
-        tf_candidates.join(F.broadcast(dfreq_q.select(*qcols)), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
+        scored.crossJoin(F.broadcast(stats))
         .withColumn("contrib", contrib)
         .groupBy(id_col)
         .agg(F.sum("contrib").alias("score"))
@@ -206,8 +364,15 @@ def collapse_topk(
     """
     from pyspark.sql import Window
 
-    scored = bm25_scores(docs, query, id_col, text_col)
-    keyed = scored.join(docs.select(id_col, collapse_col), id_col)
+    # the collapse key rides the scan-local fast path as a carried
+    # column (extra_cols) — no join back to docs; the wide-query
+    # fallback joins it on as before
+    scored = bm25_scores(docs, query, id_col, text_col, extra_cols=[collapse_col])
+    keyed = (
+        scored
+        if collapse_col in scored.columns
+        else scored.join(docs.select(id_col, collapse_col), id_col)
+    )
     w = Window.partitionBy(collapse_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -242,15 +407,17 @@ def boolean_search(
     shape BM25 top-k alone can't express — bm25_topk is disjunctive
     (any query term qualifies a doc).
 
-    Plan: every candidate set is one groupBy over tf rows filtered to
-    the relevant term list (tf is unique per (doc, term), so a plain
-    count IS the distinct-term count: == |must| for the conjunctive
-    set, >= min_should_match for the should quorum); the negated set
-    is a left_anti join; all are id-sets fed to bm25_topk's scope_ids
-    (left_semi into the scoring join, stats untouched). On the
+    Plan (r6): every boolean clause is a PER-DOCUMENT predicate over
+    the same per-term tf columns the literal scoring fast path
+    computes (tf_i > 0 for each must term; tf_i == 0 for each must_not
+    term; Σ 1[tf_i > 0] >= m over the should terms) — so the whole
+    query is ONE scan-side filter plus the shared scoring tail, with
+    zero candidate-set shuffles or semi-joins (the former shape built
+    three id-sets via groupBys and joined them back). On the
     compressed index the same sets come from decoding only those
-    terms' postings — the relational form here is the oracle-parity
-    spec, consistent with bm25_topk."""
+    terms' postings — this form is the oracle-parity spec, consistent
+    with bm25_topk. Queries wider than LITERAL_TERMS_MAX fall back to
+    the relational id-set spine."""
     must_terms = sorted({t for w in must for t in tokenize_py(w)})
     should_terms = sorted({t for w in (should or []) for t in tokenize_py(w)})
     not_terms = sorted({t for w in (must_not or []) for t in tokenize_py(w)})
@@ -260,7 +427,57 @@ def boolean_search(
         # rather than scan everything (ES rejects this shape too)
         return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
 
-    tf = tf_df(docs, id_col, text_col)
+    score_terms = sorted(set(must_terms) | set(should_terms))
+    all_terms = sorted(set(score_terms) | set(not_terms))
+    if len(all_terms) <= LITERAL_TERMS_MAX:
+        idx = {t: i for i, t in enumerate(all_terms)}
+        base_all = _tf_base(docs, all_terms, id_col, text_col)
+        stats = base_all.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.count(F.when(F.col(f"_tf{idx[t]}") > 0, F.lit(1)))
+                .cast("long")
+                .alias(f"_df{idx[t]}")
+                for t in score_terms
+            ],
+        )
+        cond = None
+        for t in must_terms:
+            c = F.col(f"_tf{idx[t]}") > 0
+            cond = c if cond is None else (cond & c)
+        if quorum:
+            nsh = None
+            for t in should_terms:
+                c = F.when(F.col(f"_tf{idx[t]}") > 0, F.lit(1)).otherwise(F.lit(0))
+                nsh = c if nsh is None else (nsh + c)
+            c = nsh >= F.lit(min_should_match)
+            cond = c if cond is None else (cond & c)
+        for t in not_terms:
+            c = F.col(f"_tf{idx[t]}") == 0
+            cond = cond & c
+        cand = base_all.filter(cond)
+        score = None
+        for t in score_terms:
+            i = idx[t]
+            contrib = bm25_contrib_expr(
+                F.col(f"_tf{i}").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+                idf_expr(F.col("n_docs"), F.col(f"_df{i}").cast("double")),
+            )
+            score = contrib if score is None else (score + contrib)
+        if round_scores:
+            score = round_half_up(score, SCORE_DECIMALS)
+        return (
+            cand.crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+    # wide-query fallback: relational id-set spine
+    tf = tf_dl_df(docs, id_col, text_col)
     cand = None
     if must_terms:
         cand = (
@@ -307,10 +524,11 @@ def search_facets(
     One extra groupBy on the facet key after the score agg; best_score
     is max of the already-rounded per-doc scores, so the facet row is
     exactly reproducible from the ranked results."""
-    scored = bm25_scores(docs, query, id_col, text_col)
+    scored = bm25_scores(docs, query, id_col, text_col, extra_cols=[facet_col])
+    if facet_col not in scored.columns:
+        scored = scored.join(docs.select(id_col, facet_col), id_col)
     return (
-        scored.join(docs.select(id_col, facet_col), id_col)
-        .groupBy(facet_col)
+        scored.groupBy(facet_col)
         .agg(
             F.count("*").cast("long").alias("n_hits"),
             F.max("score").alias("best_score"),
@@ -339,10 +557,9 @@ def more_like_this(
     weight DESC, term ASC), and the m-row term set broadcasts into the
     same candidate-scoring join bm25_scores uses. At 100 TB the extra
     cost over a literal-terms query is one broadcast of m rows."""
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
+    tf = tf_dl_df(docs, id_col, text_col)
     dfreq = docfreq_df(tf, id_col)
-    stats = dl.agg(
+    stats = dl_df(docs, id_col, text_col).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -363,7 +580,7 @@ def more_like_this(
     # dfreq semi-filtered to qterms (<=m rows) both restricts tf to
     # the m query terms and attaches their df
     scored = score_over_terms(
-        tf, dl, dfreq.join(qterms, "term", "left_semi"), stats, id_col
+        tf, None, dfreq.join(qterms, "term", "left_semi"), stats, id_col
     )
     return (
         scored.filter(F.col(id_col) != doc_id_val)
@@ -387,14 +604,15 @@ def search_histogram(
     width; one extra groupBy on the bin key after the score agg, and
     best_score aggregates the already-rounded per-doc scores so every
     bar is exactly reproducible from the ranked results."""
-    scored = bm25_scores(docs, query, id_col, text_col)
+    scored = bm25_scores(docs, query, id_col, text_col, extra_cols=[field_col])
+    if field_col not in scored.columns:
+        scored = scored.join(docs.select(id_col, field_col), id_col)
     bin_expr = (
         F.floor(F.col(field_col).cast("double") / F.lit(float(width)))
         * F.lit(width)
     ).cast("long")
     return (
-        scored.join(docs.select(id_col, field_col), id_col)
-        .groupBy(bin_expr.alias("bin"))
+        scored.groupBy(bin_expr.alias("bin"))
         .agg(
             F.count("*").cast("long").alias("n_hits"),
             F.max("score").alias("best_score"),
@@ -413,15 +631,14 @@ def _expanded_term_topk(
     regex): filter the VOCAB-sized docfreq by `term_filter` (a Column
     predicate over `term`), ride the shared broadcast scoring tail,
     rank. One definition so the two expansion flavors cannot drift."""
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
+    tf = tf_dl_df(docs, id_col, text_col)
     dfreq_q = docfreq_df(tf, id_col).filter(term_filter)
-    stats = dl.agg(
+    stats = dl_df(docs, id_col, text_col).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     return (
-        score_over_terms(tf, dl, dfreq_q, stats, id_col)
+        score_over_terms(tf, None, dfreq_q, stats, id_col)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -604,8 +821,7 @@ def fuzzy_search(
     qdf = spark.createDataFrame(
         [(t, len(t)) for t in q_terms], "qterm string, qlen int"
     )
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
+    tf = tf_dl_df(docs, id_col, text_col)
     vocab = docfreq_df(tf, id_col)
     expansion = (
         vocab.join(
@@ -622,12 +838,12 @@ def fuzzy_search(
         .groupBy("term", "df")
         .agg(F.max("w").alias("w"))
     )
-    stats = dl.agg(
+    stats = dl_df(docs, id_col, text_col).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     return (
-        score_over_terms(tf, dl, expansion, stats, id_col, weight_col="w")
+        score_over_terms(tf, None, expansion, stats, id_col, weight_col="w")
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -667,15 +883,14 @@ def synonym_search(
         .groupBy("term")
         .agg(F.max("w").alias("w"))
     )
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
+    tf = tf_dl_df(docs, id_col, text_col)
     expansion = docfreq_df(tf, id_col).join(F.broadcast(wdf), "term")
-    stats = dl.agg(
+    stats = dl_df(docs, id_col, text_col).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     return (
-        score_over_terms(tf, dl, expansion, stats, id_col, weight_col="w")
+        score_over_terms(tf, None, expansion, stats, id_col, weight_col="w")
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -703,10 +918,9 @@ def prf_expand(
     TakeOrderedAndProject(n_terms)."""
     q_terms = sorted(set(tokenize_py(query)))
     winners = bm25_topk(docs, query, k_docs, id_col, text_col).select(id_col)
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
+    tf = tf_dl_df(docs, id_col, text_col)
     dfreq = docfreq_df(tf, id_col)
-    stats = dl.agg(
+    stats = dl_df(docs, id_col, text_col).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -788,15 +1002,14 @@ def prf_search(
     )
     # prf_expand excludes the query's own terms, so the union is disjoint
     wterms = wq.unionByName(exp.withColumn("w", F.lit(float(beta))))
-    tf = tf_df(docs, id_col, text_col)
-    dl = dl_df(docs, id_col, text_col)
+    tf = tf_dl_df(docs, id_col, text_col)
     dfreq_q = docfreq_df(tf, id_col).join(wterms, "term")
-    stats = dl.agg(
+    stats = dl_df(docs, id_col, text_col).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     return (
-        score_over_terms(tf, dl, dfreq_q, stats, id_col, weight_col="w")
+        score_over_terms(tf, None, dfreq_q, stats, id_col, weight_col="w")
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )

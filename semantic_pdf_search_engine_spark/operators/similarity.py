@@ -289,18 +289,83 @@ def embedding_neardup_pairs(
     """(a, b, sim) cosine near-dup pairs over a bounded id range — the
     brute EXACT spine (DuckDB-oracle twin); the scale path is
     `embedding_neardup_lsh_pairs` below (banded hyperplane-LSH
-    candidate join, never all-pairs)."""
+    candidate join, never all-pairs).
+
+    r6: the bounded side (≤ max_id rows by contract) is collected once
+    and closed over a mapInPandas pass — each Arrow batch scores
+    against it with numpy whose ACCUMULATION ORDER REPLICATES the
+    higher-order-function spec exactly (a Python loop over dimensions,
+    each step a vectorized `acc += x_k·y_k` — the same left-to-right
+    float64 adds `aggregate(zip_with(...))` performs, then the same
+    divide/sqrt/round ops), so the sims are bit-identical to the
+    Column form while the per-pair interpreted-expression evaluation
+    (45k pairs × 64-dim fold at the demo bound) becomes ~d vectorized
+    numpy ops per batch. The collect is bounded by max_id (the same
+    bounded-serving contract as the ANN query batches); an unbounded
+    call keeps the join form."""
     e = emb
     if max_id is not None:
         e = e.filter(F.col(id_col) < max_id)
-    x = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    y = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        x.join(y, F.col("a") < F.col("b"))
-        .select(
-            "a", "b", round_half_up(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim")
+    if max_id is None:
+        x = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        y = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        return (
+            x.join(y, F.col("a") < F.col("b"))
+            .select(
+                "a",
+                "b",
+                round_half_up(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
         )
-        .filter(F.col("sim") >= threshold)
+
+    import pandas as pd
+
+    side = e.select(id_col, vec_col).collect()
+    if not side:
+        return emb.sparkSession.createDataFrame([], "a long, b long, sim double")
+    yb_ids = np.array([r[id_col] for r in side], dtype=np.int64)
+    # float32 storage cast to float64 per element — same as the
+    # Column form's x.cast("double")
+    yb = np.array(
+        [np.asarray(r[vec_col], dtype=np.float32) for r in side]
+    ).astype(np.float64)
+    d = yb.shape[1]
+    # sequential per-dimension accumulation (NOT pairwise np.dot):
+    # bit-identical to aggregate()'s left-to-right fold
+    yn = np.zeros(len(yb))
+    for k in range(d):
+        yn += yb[:, k] * yb[:, k]
+    yn = np.sqrt(yn)
+    thr = float(threshold)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+            ).astype(np.float64)
+            dots = np.zeros((len(X), len(yb)))
+            for k in range(d):
+                dots += X[:, k][:, None] * yb[None, :, k]
+            xn = np.zeros(len(X))
+            for k in range(d):
+                xn += X[:, k] * X[:, k]
+            xn = np.sqrt(xn)
+            sims = np_round_half_up(dots / (xn[:, None] * yn[None, :]), 6)
+            ai, bi = np.nonzero((ids[:, None] < yb_ids[None, :]) & (sims >= thr))
+            yield pd.DataFrame(
+                {
+                    "a": ids[ai],
+                    "b": yb_ids[bi],
+                    "sim": sims[ai, bi],
+                }
+            )
+
+    return e.select(id_col, vec_col).mapInPandas(
+        gen, schema="a long, b long, sim double"
     )
 
 
