@@ -136,114 +136,6 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
-# Above this many distinct query terms the literal-columns fast path
-# (one tf expression per term) stops paying for itself and the
-# relational explode+join spine takes over. Serving queries are a
-# handful of terms; the constant only selects between two
-# result-identical plans.
-LITERAL_TERMS_MAX = 32
-
-
-def _tf_base(
-    docs: DataFrame, q_terms: list[str], id_col: str, text_col: str
-) -> DataFrame:
-    """(id, dl, _tf0.._tfN) — per-document query-term frequencies as
-    PLAIN COLUMNS over one tokenization: tf_i = |{tokens == t_i}| via
-    a higher-order filter over the materialized token array. No
-    explode, no (doc, term) groupBy, no join — the whole literal-terms
-    BM25 pipeline becomes scan-local (guide §2.4: remove the shuffle
-    outright). The token array is aliased in its own projection so the
-    k+2 consumers share ONE evaluation."""
-
-    def _eq(t: str):
-        return lambda x: x == F.lit(t)
-
-    return docs.select(
-        F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
-    ).select(
-        F.col(id_col),
-        F.size("_toks").cast("int").alias("dl"),
-        *[
-            F.size(F.filter(F.col("_toks"), _eq(t))).cast("int").alias(f"_tf{i}")
-            for i, t in enumerate(q_terms)
-        ],
-    )
-
-
-def _literal_scores(
-    docs: DataFrame,
-    q_terms: list[str],
-    id_col: str,
-    text_col: str,
-    round_scores: bool,
-    scope,
-    scope_ids: DataFrame | None,
-    extra_cols: list[str] | None = None,
-) -> DataFrame:
-    """Literal-terms BM25 scoring with ZERO corpus shuffles: one
-    full-corpus aggregate produces (n_docs, avgdl, df_i...) as a single
-    broadcast row; candidates are a scan-side filter (any tf_i > 0)
-    over the same per-doc tf columns; the score is a fixed-order sum of
-    per-term contributions (absent terms contribute exactly 0.0). The
-    only exchange in the plan is the 1-row stats aggregation.
-    `extra_cols` are docs columns carried through to the scored output
-    (facet/collapse keys — saves the join back to docs)."""
-    base_all = _tf_base(docs, q_terms, id_col, text_col)
-    stats = base_all.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.count(F.when(F.col(f"_tf{i}") > 0, F.lit(1)))
-            .cast("long")
-            .alias(f"_df{i}")
-            for i in range(len(q_terms))
-        ],
-    )
-    src = docs.filter(scope) if scope is not None else docs
-    if extra_cols:
-        cand = src.select(
-            F.col(id_col),
-            *[F.col(c) for c in extra_cols],
-            tokens_expr(F.col(text_col)).alias("_toks"),
-        ).select(
-            F.col(id_col),
-            *[F.col(c) for c in extra_cols],
-            F.size("_toks").cast("int").alias("dl"),
-            *[
-                F.size(
-                    F.filter(F.col("_toks"), (lambda t: lambda x: x == F.lit(t))(t))
-                )
-                .cast("int")
-                .alias(f"_tf{i}")
-                for i, t in enumerate(q_terms)
-            ],
-        )
-    else:
-        cand = _tf_base(src, q_terms, id_col, text_col)
-    if scope_ids is not None:
-        cand = cand.join(scope_ids.select(id_col), id_col, "left_semi")
-    match_any = None
-    for i in range(len(q_terms)):
-        c = F.col(f"_tf{i}") > 0
-        match_any = c if match_any is None else (match_any | c)
-    cand = cand.filter(match_any)
-
-    score = None
-    for i in range(len(q_terms)):
-        contrib = bm25_contrib_expr(
-            F.col(f"_tf{i}").cast("double"),
-            F.col("dl").cast("double"),
-            F.col("avgdl"),
-            idf_expr(F.col("n_docs"), F.col(f"_df{i}").cast("double")),
-        )
-        score = contrib if score is None else (score + contrib)
-    if round_scores:
-        score = round_half_up(score, SCORE_DECIMALS)
-    return cand.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), *[F.col(c) for c in (extra_cols or [])], score.alias("score")
-    )
-
-
 def bm25_scores(
     docs: DataFrame,
     query: str,
@@ -252,26 +144,22 @@ def bm25_scores(
     round_scores: bool = True,
     scope=None,
     scope_ids: DataFrame | None = None,
-    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, score) for every candidate document matching >=1 query term
     — bm25_topk without the final rank/limit, for consumers that rank
     under a different order (e.g. per-conversation collapse).
 
-    Literal query terms take the scan-local fast path (_literal_scores:
-    per-term tf columns + one broadcast stats row — zero corpus
-    shuffles); queries wider than LITERAL_TERMS_MAX distinct terms take
-    the relational explode+join spine. Both produce identical rows."""
+    (r6 note: a scan-local variant computing per-term tf columns via
+    higher-order filters — zero corpus shuffles — was measured SLOWER
+    here than this relational spine: HOFs evaluate interpreted, paying
+    k array passes per row on both the stats and candidate scans. The
+    relational explode+join form keeps whole-stage codegen and one
+    shared exchange; see OPTIMIZATION_r06.md.)"""
     spark = docs.sparkSession
     q_terms = sorted(set(tokenize_py(query)))
     if not q_terms:
         # empty-query guard — reference parity (search.rs:20-22)
         return spark.createDataFrame([], f"{id_col} long, score double")
-    if len(q_terms) <= LITERAL_TERMS_MAX:
-        return _literal_scores(
-            docs, q_terms, id_col, text_col, round_scores, scope, scope_ids,
-            extra_cols,
-        )
 
     tf = tf_dl_df(docs, id_col, text_col)
     # restrict docfreq to query terms BEFORE the broadcast — we ship k
@@ -294,10 +182,7 @@ def bm25_scores(
         candidates = candidates.join(scope_ids.select(id_col), id_col, "left_semi")
     # the broadcast join to the query-restricted dfreq both filters the
     # candidate stream to the query terms and attaches their df
-    scored = score_over_terms(candidates, None, dfreq, stats, id_col, round_scores)
-    if extra_cols:
-        scored = scored.join(docs.select(id_col, *extra_cols), id_col)
-    return scored
+    return score_over_terms(candidates, None, dfreq, stats, id_col, round_scores)
 
 
 def score_over_terms(
@@ -364,15 +249,8 @@ def collapse_topk(
     """
     from pyspark.sql import Window
 
-    # the collapse key rides the scan-local fast path as a carried
-    # column (extra_cols) — no join back to docs; the wide-query
-    # fallback joins it on as before
-    scored = bm25_scores(docs, query, id_col, text_col, extra_cols=[collapse_col])
-    keyed = (
-        scored
-        if collapse_col in scored.columns
-        else scored.join(docs.select(id_col, collapse_col), id_col)
-    )
+    scored = bm25_scores(docs, query, id_col, text_col)
+    keyed = scored.join(docs.select(id_col, collapse_col), id_col)
     w = Window.partitionBy(collapse_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -407,17 +285,15 @@ def boolean_search(
     shape BM25 top-k alone can't express — bm25_topk is disjunctive
     (any query term qualifies a doc).
 
-    Plan (r6): every boolean clause is a PER-DOCUMENT predicate over
-    the same per-term tf columns the literal scoring fast path
-    computes (tf_i > 0 for each must term; tf_i == 0 for each must_not
-    term; Σ 1[tf_i > 0] >= m over the should terms) — so the whole
-    query is ONE scan-side filter plus the shared scoring tail, with
-    zero candidate-set shuffles or semi-joins (the former shape built
-    three id-sets via groupBys and joined them back). On the
+    Plan: every candidate set is one groupBy over tf rows filtered to
+    the relevant term list (tf is unique per (doc, term), so a plain
+    count IS the distinct-term count: == |must| for the conjunctive
+    set, >= min_should_match for the should quorum); the negated set
+    is a left_anti join; all are id-sets fed to bm25_topk's scope_ids
+    (left_semi into the scoring join, stats untouched). On the
     compressed index the same sets come from decoding only those
-    terms' postings — this form is the oracle-parity spec, consistent
-    with bm25_topk. Queries wider than LITERAL_TERMS_MAX fall back to
-    the relational id-set spine."""
+    terms' postings — the relational form here is the oracle-parity
+    spec, consistent with bm25_topk."""
     must_terms = sorted({t for w in must for t in tokenize_py(w)})
     should_terms = sorted({t for w in (should or []) for t in tokenize_py(w)})
     not_terms = sorted({t for w in (must_not or []) for t in tokenize_py(w)})
@@ -427,56 +303,8 @@ def boolean_search(
         # rather than scan everything (ES rejects this shape too)
         return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
 
-    score_terms = sorted(set(must_terms) | set(should_terms))
-    all_terms = sorted(set(score_terms) | set(not_terms))
-    if len(all_terms) <= LITERAL_TERMS_MAX:
-        idx = {t: i for i, t in enumerate(all_terms)}
-        base_all = _tf_base(docs, all_terms, id_col, text_col)
-        stats = base_all.agg(
-            F.count("*").cast("double").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            *[
-                F.count(F.when(F.col(f"_tf{idx[t]}") > 0, F.lit(1)))
-                .cast("long")
-                .alias(f"_df{idx[t]}")
-                for t in score_terms
-            ],
-        )
-        cond = None
-        for t in must_terms:
-            c = F.col(f"_tf{idx[t]}") > 0
-            cond = c if cond is None else (cond & c)
-        if quorum:
-            nsh = None
-            for t in should_terms:
-                c = F.when(F.col(f"_tf{idx[t]}") > 0, F.lit(1)).otherwise(F.lit(0))
-                nsh = c if nsh is None else (nsh + c)
-            c = nsh >= F.lit(min_should_match)
-            cond = c if cond is None else (cond & c)
-        for t in not_terms:
-            c = F.col(f"_tf{idx[t]}") == 0
-            cond = cond & c
-        cand = base_all.filter(cond)
-        score = None
-        for t in score_terms:
-            i = idx[t]
-            contrib = bm25_contrib_expr(
-                F.col(f"_tf{i}").cast("double"),
-                F.col("dl").cast("double"),
-                F.col("avgdl"),
-                idf_expr(F.col("n_docs"), F.col(f"_df{i}").cast("double")),
-            )
-            score = contrib if score is None else (score + contrib)
-        if round_scores:
-            score = round_half_up(score, SCORE_DECIMALS)
-        return (
-            cand.crossJoin(F.broadcast(stats))
-            .select(F.col(id_col), score.alias("score"))
-            .orderBy(F.col("score").desc(), F.col(id_col).asc())
-            .limit(k)
-        )
-
-    # wide-query fallback: relational id-set spine
+    # same fused subtree as bm25_scores' candidate stream, so the
+    # candidate-set branches share its exchange (ReusedExchange)
     tf = tf_dl_df(docs, id_col, text_col)
     cand = None
     if must_terms:
@@ -524,11 +352,10 @@ def search_facets(
     One extra groupBy on the facet key after the score agg; best_score
     is max of the already-rounded per-doc scores, so the facet row is
     exactly reproducible from the ranked results."""
-    scored = bm25_scores(docs, query, id_col, text_col, extra_cols=[facet_col])
-    if facet_col not in scored.columns:
-        scored = scored.join(docs.select(id_col, facet_col), id_col)
+    scored = bm25_scores(docs, query, id_col, text_col)
     return (
-        scored.groupBy(facet_col)
+        scored.join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
         .agg(
             F.count("*").cast("long").alias("n_hits"),
             F.max("score").alias("best_score"),
@@ -604,15 +431,14 @@ def search_histogram(
     width; one extra groupBy on the bin key after the score agg, and
     best_score aggregates the already-rounded per-doc scores so every
     bar is exactly reproducible from the ranked results."""
-    scored = bm25_scores(docs, query, id_col, text_col, extra_cols=[field_col])
-    if field_col not in scored.columns:
-        scored = scored.join(docs.select(id_col, field_col), id_col)
+    scored = bm25_scores(docs, query, id_col, text_col)
     bin_expr = (
         F.floor(F.col(field_col).cast("double") / F.lit(float(width)))
         * F.lit(width)
     ).cast("long")
     return (
-        scored.groupBy(bin_expr.alias("bin"))
+        scored.join(docs.select(id_col, field_col), id_col)
+        .groupBy(bin_expr.alias("bin"))
         .agg(
             F.count("*").cast("long").alias("n_hits"),
             F.max("score").alias("best_score"),

@@ -78,6 +78,10 @@ def assign_doc_ids(
     # (build/append call unpersist_doc_ids post-write — leaving it
     # pinned would accumulate cached partitions across builds)
     result._docids_cached_parent = ordered  # type: ignore[attr-defined]
+    # total row count — already known from the per-partition counts;
+    # callers needing |df| (e.g. lm_logloss's bucket arithmetic) read
+    # this instead of running a second full count pass
+    result._docids_total = acc  # type: ignore[attr-defined]
     return result
 
 

@@ -746,7 +746,9 @@ def lm_logloss_buckets(
     ranked = assign_doc_ids(
         ll, order_cols=("logloss", id_col), out_col="_rank"
     )
-    n = ranked.count()  # bounded: one count over the cached rank input
+    # |docs with tokens| — read from the prefix-sum pass's partition
+    # counts (driver metadata) instead of a second full count pass
+    n = ranked._docids_total  # type: ignore[attr-defined]
     out = ranked.select(
         id_col,
         "logloss",
