@@ -61,18 +61,27 @@ def assign_doc_ids(
     )
     cols = [f.name for f in ordered.schema.fields if f.name != "_pid"]
 
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            off = offsets[int(pdf["_pid"].iloc[0])]
-            out = pdf[cols].copy()
-            out[out_col] = range(off + local, off + local + len(pdf))
-            local += len(pdf)
-            yield out
+    # mapInArrow, not mapInPandas: the pass only APPENDS an int64
+    # column, so the payload columns (the full text!) stay as Arrow
+    # buffers end-to-end instead of round-tripping through pandas
+    # object arrays (measured: the pandas conversion dominated this
+    # stage's wall at 448k turns)
+    def add_ids(batches):
+        import pyarrow as pa
 
-    result = ordered.mapInPandas(add_ids, schema=out_schema)
+        local = 0
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            pid = batch.column("_pid")[0].as_py()
+            off = offsets[int(pid)] + local
+            local += n
+            ids = pa.array(range(off, off + n), type=pa.int64())
+            arrays = [batch.column(c) for c in cols] + [ids]
+            yield pa.RecordBatch.from_arrays(arrays, names=cols + [out_col])
+
+    result = ordered.mapInArrow(add_ids, schema=out_schema)
     # the persist pins partition contents between the counts pass and
     # the add_ids pass; callers release it AFTER consuming the result
     # (build/append call unpersist_doc_ids post-write — leaving it

@@ -60,6 +60,11 @@ POSTINGS_SCHEMA = (
     "gaps binary, tfs binary, dls binary, max_tf int, top_tf int, top_dl int"
 )
 
+# encoder-internal block schema: the wide shuffle+sort runs on a dense
+# int64 term_id (see build_posting_blocks); the term string is joined
+# back on at block grain
+_ENCODE_SCHEMA = POSTINGS_SCHEMA.replace("term string", "term_id long")
+
 
 def term_frequencies(
     docs: DataFrame, text_col: str = "text", mode: str = "arrow"
@@ -144,13 +149,27 @@ def build_posting_blocks(
         raise ValueError(
             f"unknown postings codec {codec_name!r} (have {sorted(codec.CODECS)})"
         )
+    from pyspark.sql.window import Window
+
     spark = tf.sparkSession
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    # r6 (guide §2.3, narrower shuffle keys): the posting shuffle+sort
+    # used to carry the TERM STRING on all ~n_postings rows; a dense
+    # int64 `term_id` (row_number over the vocab-sized dfreq — Heaps-law
+    # sublinear, the same single-group rank build_vocab performs)
+    # replaces it for the wide repartition+sort, and the term string is
+    # re-attached AFTER encoding by joining the ~|blocks| output against
+    # the tiny vocab map — fixed-width integer sort keys and string
+    # bytes moved once per BLOCK instead of once per posting.
+    vocab = dfreq_idf.select("term", "idf").withColumn(
+        "term_id", F.row_number().over(Window.orderBy("term")).cast("long")
+    )
     with_stripe = (
-        tf.join(dfreq_idf, "term")  # sort-merge on term; reused by the repartition
+        tf.join(vocab.select("term", "term_id", "idf"), "term")
         .withColumn("stripe_id", (F.col("doc_id") / F.lit(stripe_docs)).cast("long"))
+        .select("term_id", "stripe_id", "doc_id", "tf", "dl", "idf")
     )
 
     k1, b = K1, B
@@ -165,12 +184,12 @@ def build_posting_blocks(
         import numpy as np
 
         def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            # rows arrive sorted by (term, stripe_id, doc_id); encode the
-            # whole batch with vectorized numpy and split per group —
+            # rows arrive sorted by (term_id, stripe_id, doc_id); encode
+            # the whole batch with vectorized numpy and split per group —
             # per-group cost is a bytes slice, not a pandas frame
             # (440k groups at 900k turns made the groupby loop the
             # build's dominant cost).
-            terms = pdf["term"].to_numpy()
+            terms = pdf["term_id"].to_numpy()
             stripes = pdf["stripe_id"].to_numpy()
             docs = pdf["doc_id"].to_numpy()
             tfs = pdf["tf"].to_numpy()
@@ -219,7 +238,7 @@ def build_posting_blocks(
 
             o = pd.DataFrame(
                 {
-                    "term": terms[starts],
+                    "term_id": terms[starts].astype("int64"),
                     "stripe_id": stripes[starts].astype("int64"),
                     "n_postings": (ends - starts).astype("int32"),
                     "min_doc": docs[starts].astype("int64"),
@@ -248,9 +267,9 @@ def build_posting_blocks(
                 carry = None
                 continue
             # the last (term, stripe) run may continue into the next batch
-            last_t = pdf["term"].iloc[-1]
+            last_t = pdf["term_id"].iloc[-1]
             last_s = pdf["stripe_id"].iloc[-1]
-            mask = (pdf["term"] == last_t) & (pdf["stripe_id"] == last_s)
+            mask = (pdf["term_id"] == last_t) & (pdf["stripe_id"] == last_s)
             carry = pdf[mask]
             body = pdf[~mask]
             if len(body):
@@ -258,10 +277,25 @@ def build_posting_blocks(
         if carry is not None and len(carry):
             yield encode_groups(carry)
 
-    return (
-        with_stripe.repartition(num_partitions, "term", "stripe_id")
-        .sortWithinPartitions("term", "stripe_id", "doc_id")
-        .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+    encoded = (
+        with_stripe.repartition(num_partitions, "term_id", "stripe_id")
+        .sortWithinPartitions("term_id", "stripe_id", "doc_id")
+        .mapInPandas(encode_partition, schema=_ENCODE_SCHEMA)
+    )
+    # restore the term string on the block-grain output (~n_blocks rows,
+    # orders of magnitude fewer than postings) via the tiny vocab map
+    return encoded.join(F.broadcast(vocab.select("term_id", "term")), "term_id").select(
+        "term",
+        "stripe_id",
+        "n_postings",
+        "min_doc",
+        "max_doc",
+        "gaps",
+        "tfs",
+        "dls",
+        "max_tf",
+        "top_tf",
+        "top_dl",
     )
 
 
