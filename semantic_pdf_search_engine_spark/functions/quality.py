@@ -146,19 +146,32 @@ def is_valid_chunk(text: Column) -> Column:
     )
 
 
-def stopword_ratio(text: Column) -> Column:
-    toks = tokens_expr(text)
+def stopword_ratio(text: Column, toks: Column | None = None) -> Column:
+    """`toks` (optional): a PRECOMPUTED tokens_expr(text) column — pass
+    it when the caller has already projected the token array so the
+    tokenization is not re-evaluated per consumer (higher-order
+    functions are CodegenFallback: repeated evaluation is interpreted,
+    per row)."""
+    toks = tokens_expr(text) if toks is None else toks
     n = F.size(toks)
     stops = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
     return F.when(n > 0, stops.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def lang_id(text: Column) -> Column:
-    """n-gram-free heuristic: English stopword density ≥ 5% → 'en'."""
-    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+def lang_id(text: Column, sr: Column | None = None) -> Column:
+    """n-gram-free heuristic: English stopword density ≥ 5% → 'en'.
+    `sr`: optional precomputed stopword_ratio column (same contract as
+    stopword_ratio's `toks`)."""
+    sr = stopword_ratio(text) if sr is None else sr
+    return F.when(sr >= 0.05, F.lit("en")).otherwise(F.lit("und"))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(
+    text: Column,
+    toks: Column | None = None,
+    alpha: Column | None = None,
+    sr: Column | None = None,
+) -> Column:
     """Composite [0,1]: length component + alphabetic density +
     stopword naturalness. Pinned formula (identical SQL twin).
 
@@ -167,13 +180,20 @@ def quality_score(text: Column) -> Column:
     under a .5 decimal boundary (observed at sf0.1: 0.5365624999…)
     makes Spark/numpy ROUND down while DuckDB rounds up; the explicit
     floor form evaluates the same IEEE ops on the same double in both
-    engines, so the twin can never split on a tie."""
-    toks = tokens_expr(text)
+    engines, so the twin can never split on a tie.
+
+    `toks`/`alpha`/`sr`: optional precomputed columns (tokens_expr /
+    alpha_ratio / stopword_ratio of the same text) — pass them when the
+    caller has projected them once for several consumers; the arithmetic
+    is identical either way."""
+    toks = tokens_expr(text) if toks is None else toks
     dl = F.size(toks).cast("double")
+    alpha = alpha_ratio(text) if alpha is None else alpha
+    sr = stopword_ratio(text, toks) if sr is None else sr
     raw = (
         F.least(F.lit(1.0), dl / F.lit(100.0)) * F.lit(0.5)
-        + alpha_ratio(text) * F.lit(0.3)
-        + F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0)) * F.lit(0.2)
+        + alpha * F.lit(0.3)
+        + F.least(sr * F.lit(4.0), F.lit(1.0)) * F.lit(0.2)
     )
     return F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
@@ -222,6 +242,9 @@ def quality_verdict(
     min_words: int = 10,
     min_alpha: float = 0.5,
     min_quality: float = 0.3,
+    toks: Column | None = None,
+    alpha: Column | None = None,
+    sr: Column | None = None,
 ) -> Column:
     """First-failing-rule verdict for the corpus-filter pass: the
     composed keep/drop DECISION downstream of the individual quality
@@ -232,10 +255,14 @@ def quality_verdict(
     are over already-pinned expressions (ints; quality_score's
     arithmetic-rounded double; alpha_ratio's identical-IEEE-ops
     double), so the SQL twin can never tie-split."""
+    alpha = alpha_ratio(text) if alpha is None else alpha
     return (
         F.when(word_count(text) < min_words, F.lit("too_short"))
         .when(is_garbage(text), F.lit("garbage"))
-        .when(alpha_ratio(text) < min_alpha, F.lit("low_alpha"))
-        .when(quality_score(text) < min_quality, F.lit("low_quality"))
+        .when(alpha < min_alpha, F.lit("low_alpha"))
+        .when(
+            quality_score(text, toks=toks, alpha=alpha, sr=sr) < min_quality,
+            F.lit("low_quality"),
+        )
         .otherwise(F.lit("pass"))
     )

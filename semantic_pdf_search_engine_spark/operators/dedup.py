@@ -1010,12 +1010,11 @@ def connected_components_star(
         e_new, new_chk = _observed_checkpoint(_clean(ss))
         converged = False
         if new_chk == chk:
-            # candidate fixpoint — confirm exactly (distinct sets, so
-            # two one-sided anti-join emptiness checks suffice)
-            converged = (
-                e_new.exceptAll(e).limit(1).count() == 0
-                and e.exceptAll(e_new).limit(1).count() == 0
-            )
+            # candidate fixpoint — confirm exactly. Both sides are
+            # DISTINCT sets (the _clean) and checksum equality includes
+            # equal cardinality, so ONE one-sided difference emptiness
+            # suffices: |A| = |B| ∧ A∖B = ∅ ⇒ A = B.
+            converged = e_new.exceptAll(e).limit(1).count() == 0
         e, chk = e_new, new_chk
         gc.collect()
         if converged:

@@ -743,6 +743,10 @@ def lm_logloss_buckets(
         )
         .select(F.col(id_col), round_half_up(F.col("_raw"), 6).alias("logloss"))
     )
+    # persist the (id, logloss) table: repartitionByRange's bound
+    # sampling and the shuffle itself would otherwise each evaluate the
+    # full two-aggregate logloss pipeline (2× the corpus work)
+    ll = ll.persist()
     ranked = assign_doc_ids(
         ll, order_cols=("logloss", id_col), out_col="_rank"
     )
@@ -758,6 +762,7 @@ def lm_logloss_buckets(
     )
     out = out.localCheckpoint(eager=True)  # release the rank cache safely
     unpersist_doc_ids(ranked)
+    ll.unpersist()
     return out
 
 

@@ -508,12 +508,28 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
 
     t = F.col("text")
-    return _docs(spark, sf_dir).select(
+    # layered projections: tokenize ONCE, stopword-filter ONCE, then
+    # every consumer reads the precomputed columns (higher-order
+    # functions are CodegenFallback — re-evaluating them per consumer
+    # is interpreted, per row). Values are identical: the same
+    # expressions over the same arrays, just not repeated.
+    base = _docs(spark, sf_dir).select(
+        "doc_id", t.alias("text"), tokens_expr(t).alias("_toks")
+    )
+    layered = base.select(
         "doc_id",
-        Q.lang_id(t).alias("lang_pred"),
-        Q.quality_score(t).alias("quality"),
-        F.size(tokens_expr(t)).cast("int").alias("n_tokens"),
-        Q.fingerprint(t).alias("fp"),
+        "text",
+        "_toks",
+        Q.stopword_ratio(F.col("text"), toks=F.col("_toks")).alias("_sr"),
+    )
+    return layered.select(
+        "doc_id",
+        Q.lang_id(F.col("text"), sr=F.col("_sr")).alias("lang_pred"),
+        Q.quality_score(
+            F.col("text"), toks=F.col("_toks"), sr=F.col("_sr")
+        ).alias("quality"),
+        F.size("_toks").cast("int").alias("n_tokens"),
+        Q.fingerprint(F.col("text")).alias("fp"),
     )
 
 
@@ -530,18 +546,30 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Demo thresholds chosen to exercise every reachable branch on the
     fixture corpus. Pure Column expr; hard oracle."""
     from semantic_pdf_search_engine_spark.functions.quality import quality_verdict
+    from semantic_pdf_search_engine_spark.functions.tokenize import tokens_expr
 
     t = F.col("text")
+    # layered: tokens and alpha_ratio projected once (shared by the
+    # low_alpha branch and quality_score), and the verdict CASE itself
+    # evaluated ONCE — `keep` derives from the reason COLUMN, not a
+    # second copy of the whole rule tree
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        t.alias("text"),
+        tokens_expr(t).alias("_toks"),
+    )
     reason = quality_verdict(
-        t,
+        F.col("text"),
         min_words=QF_MIN_WORDS,
         min_alpha=QF_MIN_ALPHA,
         min_quality=QF_MIN_QUALITY,
+        toks=F.col("_toks"),
     )
-    return _docs(spark, sf_dir).select(
+    layered = base.select("doc_id", reason.alias("reason"))
+    return layered.select(
         "doc_id",
-        reason.alias("reason"),
-        (reason == "pass").cast("int").alias("keep"),
+        "reason",
+        (F.col("reason") == "pass").cast("int").alias("keep"),
     )
 
 
