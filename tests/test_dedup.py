@@ -829,3 +829,29 @@ def test_minhash_prod_sql_generator_other_params(spark, sf_dir):
     want = {(a, b) for a, b in con.execute(_minhash_prod_sql(8, 4)).fetchall()}
     assert got == want
     assert len(got) > 0  # the 31-word fixture vocab guarantees candidates
+
+
+def test_simhash_arrow_equals_column_spec(spark, sf_dir):
+    """r6: the per-doc Arrow fingerprint pass (mode='arrow', zero
+    shuffles) must agree EXACTLY with the pure-Column spec the DuckDB
+    oracle mirrors — including dropping zero-token docs."""
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.operators.dedup import simhash
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+        # force the zero-token branch too
+        .unionByName(
+            spark.createDataFrame(
+                [(99990, ""), (99991, None), (99992, "  ,, !! ")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    a = {(r["doc_id"], r["simhash"]) for r in simhash(docs, mode="arrow").collect()}
+    c = {(r["doc_id"], r["simhash"]) for r in simhash(docs, mode="column").collect()}
+    assert a == c
+    assert all(did < 99990 for did, _ in a)  # tokenless docs have no row

@@ -780,3 +780,24 @@ def test_knn_join_ivf_sql_generator_other_params(emb, spark, tmp_path, sf_dir):
         ).fetchall()
     }
     assert got == want and len({q for q, *_ in got}) == 20
+
+
+def test_neardup_numpy_equals_join_form(emb):
+    """r6: the bounded numpy scoring path (order-replicating
+    accumulation) must produce the EXACT rows of the unbounded
+    higher-order-function join form restricted to the same id range —
+    bit-identical sims, not approximately equal."""
+    from pyspark.sql import functions as F
+
+    bounded = {
+        (r["a"], r["b"], r["sim"])
+        for r in embedding_neardup_pairs(emb, threshold=0.3, max_id=150).collect()
+    }
+    join_form = {
+        (r["a"], r["b"], r["sim"])
+        for r in embedding_neardup_pairs(
+            emb.filter(F.col("vec_id") < 150), threshold=0.3, max_id=None
+        ).collect()
+    }
+    assert bounded == join_form
+    assert len(bounded) > 0

@@ -70,3 +70,37 @@ def test_boolean_search_empty_must_guard(spark):
 
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert boolean_search(docs, must=["  ..  "]).count() == 0
+
+
+def test_tf_dl_fused_equals_separate(spark):
+    """r6: bm25.tf_dl_df (dl carried through the aggregation key, one
+    tokenization, explode_outer) must equal tf_df joined with dl_df on
+    every (doc, term) — and its NULL-term rows (empty docs) must never
+    change that projection."""
+    from pyspark.sql import functions as F
+
+    from semantic_pdf_search_engine_spark.operators.bm25 import (
+        dl_df,
+        tf_df,
+        tf_dl_df,
+    )
+
+    docs = (
+        assign_doc_ids(spark.createDataFrame(make_transcripts(n_convs=25)))
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(10**12, ""), (10**12 + 1, None)], "doc_id long, text string"
+            )
+        )
+    )
+    fused = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"])
+        for r in tf_dl_df(docs).collect()
+        if r["term"] is not None
+    )
+    sep = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"])
+        for r in tf_df(docs).join(dl_df(docs), "doc_id").collect()
+    )
+    assert fused == sep
