@@ -166,10 +166,15 @@ def build_posting_blocks(
     vocab = dfreq_idf.select("term", "idf").withColumn(
         "term_id", F.row_number().over(Window.orderBy("term")).cast("long")
     )
-    with_stripe = (
-        tf.join(vocab.select("term", "term_id", "idf"), "term")
-        .withColumn("stripe_id", (F.col("doc_id") / F.lit(stripe_docs)).cast("long"))
-        .select("term_id", "stripe_id", "doc_id", "tf", "dl", "idf")
+    # stripe_id never rides the shuffle: it is doc_id // stripe_docs,
+    # recomputed inside the encoder — the repartition keys on the stripe
+    # EXPRESSION (so (term, stripe) groups stay whole) and the
+    # within-partition sort on (term_id, doc_id) already yields
+    # (term_id, stripe_id, doc_id) order because stripe is monotone in
+    # doc_id (guide §2.3: 8 fewer bytes per posting row through the
+    # exchange and the Arrow boundary).
+    keyed = tf.join(vocab.select("term", "term_id", "idf"), "term").select(
+        "term_id", "doc_id", "tf", "dl", "idf"
     )
 
     k1, b = K1, B
@@ -184,14 +189,15 @@ def build_posting_blocks(
         import numpy as np
 
         def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            # rows arrive sorted by (term_id, stripe_id, doc_id); encode
-            # the whole batch with vectorized numpy and split per group —
-            # per-group cost is a bytes slice, not a pandas frame
-            # (440k groups at 900k turns made the groupby loop the
-            # build's dominant cost).
+            # rows arrive sorted by (term_id, doc_id) ⇒ also by
+            # (term_id, stripe_id, doc_id) since stripe is monotone in
+            # doc_id; encode the whole batch with vectorized numpy and
+            # split per group — per-group cost is a bytes slice, not a
+            # pandas frame (440k groups at 900k turns made the groupby
+            # loop the build's dominant cost).
             terms = pdf["term_id"].to_numpy()
-            stripes = pdf["stripe_id"].to_numpy()
             docs = pdf["doc_id"].to_numpy()
+            stripes = docs // stripe_docs
             tfs = pdf["tf"].to_numpy()
             dls = pdf["dl"].to_numpy()
             idfs = pdf["idf"].to_numpy()
@@ -268,8 +274,10 @@ def build_posting_blocks(
                 continue
             # the last (term, stripe) run may continue into the next batch
             last_t = pdf["term_id"].iloc[-1]
-            last_s = pdf["stripe_id"].iloc[-1]
-            mask = (pdf["term_id"] == last_t) & (pdf["stripe_id"] == last_s)
+            last_s = int(pdf["doc_id"].iloc[-1]) // stripe_docs
+            mask = (pdf["term_id"] == last_t) & (
+                pdf["doc_id"] // stripe_docs == last_s
+            )
             carry = pdf[mask]
             body = pdf[~mask]
             if len(body):
@@ -277,9 +285,10 @@ def build_posting_blocks(
         if carry is not None and len(carry):
             yield encode_groups(carry)
 
+    stripe_expr = (F.col("doc_id") / F.lit(stripe_docs)).cast("long")
     encoded = (
-        with_stripe.repartition(num_partitions, "term_id", "stripe_id")
-        .sortWithinPartitions("term_id", "stripe_id", "doc_id")
+        keyed.repartition(num_partitions, F.col("term_id"), stripe_expr)
+        .sortWithinPartitions("term_id", "doc_id")
         .mapInPandas(encode_partition, schema=_ENCODE_SCHEMA)
     )
     # restore the term string on the block-grain output (~n_blocks rows,
